@@ -1,0 +1,614 @@
+"""Building blocks of MP-HSIR-TPU, as flax.linen modules over NHWC arrays.
+
+Behavioral contract is the reference model (net/MP_HSIR.py); the
+implementation is TPU-first: channels-last layouts, reshape-only window
+bookkeeping, resize-as-matmul, fp32 softmax/LN islands inside a bf16-capable
+compute path, and optional mesh-axis awareness for spatially sharded
+execution (halo convs, ppermute rolls, psum'd pixel reductions).
+
+Parameter names deliberately mirror the torch attribute names so the
+Lightning checkpoint converter (training/checkpoint.py) is a mechanical
+rename.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mp_hsir_tpu.ops.basic import gelu_exact, layer_norm, pixel_shuffle, pixel_unshuffle
+from mp_hsir_tpu.ops.conv import conv2d
+from mp_hsir_tpu.ops.resize import resize_bilinear, resize_nearest
+from mp_hsir_tpu.ops.window import (
+    roll_hw,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# torch-default initializers (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
+# ---------------------------------------------------------------------------
+
+def _torch_uniform(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def trunc_normal_init(std: float = 0.02):
+    def init(key, shape, dtype=jnp.float32):
+        # timm trunc_normal_: truncated at +-2 std
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# Parameterized primitives
+# ---------------------------------------------------------------------------
+
+
+class Conv2d(nn.Module):
+    """Conv with torch nn.Conv2d init/naming; weight stored HWIO."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        fan_in = (cin // self.groups) * self.kernel * self.kernel
+        w = self.param(
+            "weight", _torch_uniform(fan_in), (self.kernel, self.kernel, cin // self.groups, self.features)
+        )
+        b = self.param("bias", _torch_uniform(fan_in), (self.features,)) if self.use_bias else None
+        return conv2d(x, w, b, stride=self.stride, padding=self.padding, groups=self.groups, axis_name=self.axis_name)
+
+
+class Linear(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        w = self.param("weight", _torch_uniform(cin), (cin, self.features))
+        y = x @ w.astype(x.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", _torch_uniform(cin), (self.features,)).astype(y.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """Standard LN over the channel axis (torch nn.LayerNorm semantics)."""
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return layer_norm(x, w, b, self.eps)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on the leading (batch) axis."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, mask_shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# MLPs
+# ---------------------------------------------------------------------------
+
+
+class GatedMlp(nn.Module):
+    """Token MLP with gated exact-GELU (reference: net/MP_HSIR.py:66-82)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = Linear(self.hidden * 2, name="fc1")(x)
+        x_fc, x_gate = jnp.split(h, 2, axis=-1)
+        return Linear(self.dim, name="fc2")(x_fc * gelu_exact(x_gate))
+
+
+class GDFN(nn.Module):
+    """Gated-DConv feed-forward network (Restormer GDFN; reference
+    net/MP_HSIR.py:374-391 / FFN at :251-265). NHWC in/out."""
+
+    dim: int
+    expansion: float
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        hidden = int(self.dim * self.expansion)
+        x = Conv2d(hidden * 2, 1, use_bias=self.use_bias, name="project_in")(x)
+        x = Conv2d(
+            hidden * 2, 3, padding=1, groups=hidden * 2, use_bias=self.use_bias,
+            axis_name=self.axis_name, name="dwconv",
+        )(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        return Conv2d(self.dim, 1, use_bias=self.use_bias, name="project_out")(gelu_exact(x1) * x2)
+
+
+# ---------------------------------------------------------------------------
+# Attention blocks
+# ---------------------------------------------------------------------------
+
+
+def _l2norm(x: Array, axis: int, axis_name: Optional[str] = None, eps: float = 1e-12) -> Array:
+    """torch F.normalize: x / max(||x||_2, eps). With a sharded pixel axis the
+    squared-norm is psum'd across shards."""
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    if axis_name is not None:
+        sq = jax.lax.psum(sq, axis_name)
+    norm = jnp.maximum(jnp.sqrt(sq), eps)
+    return (x.astype(jnp.float32) / norm).astype(x.dtype)
+
+
+class SpectralAttention(nn.Module):
+    """Transposed (C x C) multi-head self-attention over the spectral axis
+    with L2-normalized q/k and a learnable per-head temperature
+    (MDTA; reference net/MP_HSIR.py:85-114 and the duplicate at :394-427).
+
+    Cost is linear in pixel count — the attention matrix is (c_head, c_head).
+    Under spatial sharding, pixels are distributed: the q@k^T contraction and
+    the L2 norms psum over the mesh axis; softmax and attn@v stay local.
+    """
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, c = x.shape
+        qkv = Conv2d(c * 3, 1, use_bias=self.use_bias, name="qkv")(x)
+        qkv = Conv2d(c * 3, 3, padding=1, groups=c * 3, use_bias=self.use_bias,
+                     axis_name=self.axis_name, name="qkv_dwconv")(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        dh = c // self.num_heads
+
+        def heads(t):  # (B,H,W,C) -> (B, nH, dh, HW)
+            return t.reshape(b, h * w, self.num_heads, dh).transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = _l2norm(q, axis=-1, axis_name=self.axis_name)
+        k = _l2norm(k, axis=-1, axis_name=self.axis_name)
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        attn = jnp.einsum("bncp,bndp->bncd", q, k, preferred_element_type=jnp.float32)
+        if self.axis_name is not None:
+            attn = jax.lax.psum(attn, self.axis_name)
+        attn = attn * temp
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bncd,bndp->bncp", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        return Conv2d(c, 1, use_bias=self.use_bias, name="project_out")(out)
+
+
+class PGSpectralAttention(nn.Module):
+    """Prompt-guided local spectral attention over window tokens
+    (reference: net/MP_HSIR.py:116-155).
+
+    Pools each window to one token, soft-selects a low-rank spectral prompt
+    from a learnable bank, cross-attends prompt (q) against the pooled token
+    (k, v) in a dim/ratio space, and multiplicatively gates the window.
+    """
+
+    dim: int
+    compress_ratio: int
+    prompt_len: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # x: (Bw, N, C) window tokens
+        cr = self.dim // self.compress_ratio
+        scale = cr ** -0.5
+        shortcut = x
+        pooled = jnp.mean(x, axis=1, keepdims=True)  # (Bw, 1, C)
+        pw = jax.nn.softmax(
+            Linear(self.prompt_len, use_bias=self.use_bias, name="linear_prompt")(pooled).astype(jnp.float32),
+            axis=-1,
+        ).astype(x.dtype)  # (Bw, 1, L)
+        down = Linear(cr, use_bias=self.use_bias, name="linear_down")(pooled)  # (Bw, 1, cr)
+        bank = self.param(
+            "prompt_param",
+            lambda key, shape: jax.random.uniform(key, shape),  # torch.rand
+            (1, 1, self.prompt_len, cr),
+        )
+        prompt = jnp.einsum("bol,olr->bor", pw, bank[0].astype(x.dtype))  # (Bw, 1, cr)
+        q = Linear(cr, use_bias=self.use_bias, name="q")(prompt)
+        kv = Linear(2 * cr, use_bias=self.use_bias, name="kv")(down)
+        k, v = jnp.split(kv, 2, axis=-1)
+        # q,k,v: (Bw, 1, cr). attn[b, i, j] = q[b,0,i] * k[b,0,j] * scale
+        attn = jnp.einsum("boi,boj->bij", q, k, preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bij,boj->boi", attn, v)  # (Bw, 1, cr)
+        out = Linear(cr, use_bias=True, name="proj")(out)
+        out = Linear(self.dim, use_bias=self.use_bias, name="linear_up")(out)  # (Bw, 1, C)
+        return out * shortcut
+
+
+class SpatialAttention(nn.Module):
+    """Swin window MSA with relative position bias
+    (reference: net/MP_HSIR.py:158-218)."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        bw, n, c = x.shape
+        ws = self.window_size
+        dh = c // self.num_heads
+        qkv = Linear(c * 3, use_bias=True, name="qkv")(x)
+        qkv = qkv.reshape(bw, n, 3, self.num_heads, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (Bw, nH, N, dh)
+        q = q * (dh ** -0.5)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table", trunc_normal_init(0.02), ((2 * ws - 1) ** 2, self.num_heads)
+        )
+        idx = _relative_position_index(ws)  # (N, N) numpy constant
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bw, self.num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return Linear(c, use_bias=True, name="proj")(out)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))  # 2,ws,ws
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)
+
+
+class RestormerLayerNorm(nn.Module):
+    """Channels-last LN applied to an NHWC map (reference LayerNorm wrapper
+    at net/MP_HSIR.py:360-370; WithBias variant)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return layer_norm(x, w, b, 1e-5)
+
+
+class CrossAttention(nn.Module):
+    """Channel-wise cross attention: q from the text-prompt map, k/v from the
+    visual prompt (reference: net/MP_HSIR.py:220-249)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x_q: Array, x_kv: Array) -> Array:
+        b, h, w, c = x_q.shape
+        q = Conv2d(c, 1, use_bias=self.use_bias, name="q")(x_q)
+        q = Conv2d(c, 3, padding=1, groups=c, use_bias=self.use_bias, axis_name=self.axis_name, name="q_dwconv")(q)
+        kv = Conv2d(c * 2, 1, use_bias=self.use_bias, name="kv")(x_kv)
+        kv = Conv2d(c * 2, 3, padding=1, groups=c * 2, use_bias=self.use_bias, axis_name=self.axis_name, name="kv_dwconv")(kv)
+        k, v = jnp.split(kv, 2, axis=-1)
+        dh = c // self.num_heads
+
+        def heads(t):
+            return t.reshape(b, h * w, self.num_heads, dh).transpose(0, 2, 3, 1)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        q = _l2norm(q, axis=-1)
+        k = _l2norm(k, axis=-1)
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        attn = jnp.einsum("bncp,bndp->bncd", q, k, preferred_element_type=jnp.float32) * temp
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bncd,bndp->bncp", attn, v)
+        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        return Conv2d(c, 1, use_bias=self.use_bias, name="project_out")(out)
+
+
+class CrossTransformer(nn.Module):
+    """Cross attention + GDFN with pre-norms (reference: net/MP_HSIR.py:267-287)."""
+
+    dim: int
+    num_heads: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    cross_residual: bool = True
+
+    @nn.compact
+    def __call__(self, x_q: Array, x_kv: Array) -> Array:
+        attn_out = CrossAttention(self.dim, self.num_heads, self.use_bias, name="attn")(
+            RestormerLayerNorm(self.dim, name="norm11")(x_q),
+            RestormerLayerNorm(self.dim, name="norm12")(x_kv),
+        )
+        x = x_q + attn_out if self.cross_residual else attn_out
+        return x + GDFN(self.dim, self.expansion, self.use_bias, name="ffn")(
+            RestormerLayerNorm(self.dim, name="norm2")(x)
+        )
+
+
+class TransformerBlock(nn.Module):
+    """MDTA + GDFN block used inside PromptFusion (reference: net/MP_HSIR.py:466-479)."""
+
+    dim: int
+    num_heads: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name, name="attn")(
+            RestormerLayerNorm(self.dim, name="norm1")(x)
+        )
+        return x + GDFN(self.dim, self.expansion, self.use_bias, self.axis_name, name="ffn")(
+            RestormerLayerNorm(self.dim, name="norm2")(x)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Resizing / embedding
+# ---------------------------------------------------------------------------
+
+
+class Downsample(nn.Module):
+    """3x3 conv C->C/2 + PixelUnshuffle(2): spatial /2, channels x2
+    (reference: net/MP_HSIR.py:432-440)."""
+
+    n_feat: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv2d(self.n_feat // 2, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv")(x)
+        return pixel_unshuffle(x, 2)
+
+
+class Upsample(nn.Module):
+    """3x3 conv C->2C + PixelShuffle(2): spatial x2, channels /2
+    (reference: net/MP_HSIR.py:442-450)."""
+
+    n_feat: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv2d(self.n_feat * 2, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv")(x)
+        return pixel_shuffle(x, 2)
+
+
+class OverlapPatchEmbed(nn.Module):
+    embed_dim: int
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return Conv2d(self.embed_dim, 3, padding=1, use_bias=self.use_bias, axis_name=self.axis_name, name="proj")(x)
+
+
+# ---------------------------------------------------------------------------
+# Prompt machinery
+# ---------------------------------------------------------------------------
+
+
+class TVSP(nn.Module):
+    """Text–Visual Synergistic Prompt (reference: net/MP_HSIR.py:538-583).
+
+    The learnable per-task text prompts are initialized by pushing the frozen
+    CLIP sentence embeddings through a randomly initialized linear map (the
+    reference does this under no_grad at construction, :557-563); at runtime
+    the CLIP embedding modulates the task prompt, the product is broadcast
+    into a (prompt_size, prompt_size) map via torch-nearest expansion of the
+    512-dim axis, cross-attends against a learnable visual prompt, and is
+    bilinearly resized onto the feature map.
+    """
+
+    task_classes: int
+    prompt_size: int
+    prompt_dim: int
+    out_dim: int
+    clip_table: Any = None  # np.ndarray (T, 512), static
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, clip_prompt: Array, prompt_weights: Array) -> Array:
+        b, h, w, _ = x.shape
+        d = self.prompt_dim
+
+        def init_text_prompt(key, shape):
+            # replicate: Linear(512, d) with torch default init, applied to
+            # the frozen CLIP table
+            kw, kb = jax.random.split(key)
+            bound = 1.0 / math.sqrt(512)
+            wl = jax.random.uniform(kw, (512, d), jnp.float32, -bound, bound)
+            bl = jax.random.uniform(kb, (d,), jnp.float32, -bound, bound)
+            table = jnp.asarray(self.clip_table, jnp.float32)  # (T, 512)
+            return (table @ wl + bl).reshape(shape)
+
+        text_learnable = self.param("text_prompt_learnable", init_text_prompt, (self.task_classes, d))
+        visual_prompt = self.param(
+            "visual_prompt", nn.initializers.normal(1.0), (self.prompt_size, self.prompt_size, d)
+        )
+
+        # (B, d): task-weighted learnable prompt, averaged over task axis
+        t = (prompt_weights.astype(jnp.float32) @ text_learnable.astype(jnp.float32)) / self.task_classes
+        # torch broadcast (B,d,1,1) * (B,512) -> (B,d,1,512); NHWC: (B,1,512,d)
+        tp = t[:, None, None, :] * clip_prompt.astype(jnp.float32)[:, None, :, None]
+        tp = resize_nearest(tp, self.prompt_size, self.prompt_size).astype(x.dtype)
+
+        vis = jnp.broadcast_to(visual_prompt[None], (b,) + visual_prompt.shape).astype(x.dtype)
+        prompts = CrossTransformer(d, num_heads=2, expansion=2.66, use_bias=False, name="cross_transformer")(tp, vis)
+        out = resize_bilinear(prompts, h, w, align_corners=False)
+        return Conv2d(self.out_dim, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv_last")(out)
+
+
+class PromptFusion(nn.Module):
+    """Fuse a feature map with its prompt map: concat -> transformer at 2*dim
+    -> 1x1 conv back (reference: net/MP_HSIR.py:587-599)."""
+
+    dim: int
+    out_dim: int
+    num_heads: int
+    expansion: float = 2.66
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, prompt: Array) -> Array:
+        out = jnp.concatenate([x, prompt], axis=-1)
+        out = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias, self.axis_name, name="transformer")(out)
+        return Conv2d(self.out_dim, 1, use_bias=self.use_bias, name="conv")(out)
+
+
+# ---------------------------------------------------------------------------
+# Core block
+# ---------------------------------------------------------------------------
+
+
+class PGSSTB(nn.Module):
+    """Prompt-Guided Spatial-Spectral Transformer Block
+    (reference: net/MP_HSIR.py:601-723).
+
+    LN -> (shifted) window spatial MSA -> two branches:
+      (a) prompt-guided local spectral gate on the window tokens,
+      (b) window-reverse + global C x C spectral attention;
+    sum, residual w/ drop-path, then gated MLP.
+    """
+
+    dim: int
+    num_heads: int
+    window_size: int
+    shift_size: int
+    mlp_ratio: float
+    compress_ratio: int
+    prompt_len: int
+    drop_path: float = 0.0
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        b, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift_size if ws == self.window_size else 0
+
+        shortcut = x
+        xn = LayerNorm(self.dim, name="norm1")(x)
+
+        if shift > 0:
+            xn = roll_hw(xn, -shift, -shift, self.axis_name)
+        windows = window_partition(xn, ws)  # (B*nW, ws*ws, C)
+
+        if shift > 0:
+            mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
+        else:
+            mask = None
+        sa = SpatialAttention(self.dim, ws, self.num_heads, name="attn")(windows, mask)
+
+        # branch (a): prompt-guided local spectral gate on window tokens
+        x1 = PGSpectralAttention(self.dim, self.compress_ratio, self.prompt_len, self.use_bias, name="local_spectral_attn")(sa)
+        x1 = window_reverse(x1, ws, h, w)
+        if shift > 0:
+            x1 = roll_hw(x1, shift, shift, self.axis_name)
+
+        # branch (b): global spectral attention on the un-windowed map
+        x2 = window_reverse(sa, ws, h, w)
+        if shift > 0:
+            x2 = roll_hw(x2, shift, shift, self.axis_name)
+        x2 = SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name, name="gobal_spectral_attn")(x2)
+
+        y = x1 + x2
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(y, deterministic)
+        mlp_out = GatedMlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
+            LayerNorm(self.dim, name="norm2")(x)
+        )
+        return x + dp(mlp_out, deterministic)
+
+
+class BaseBlock(nn.Module):
+    """`depth` PGSSTBs with alternating shift and an outer residual
+    (reference: net/MP_HSIR.py:727-761)."""
+
+    dim: int
+    depth: int
+    num_heads: int
+    window_size: int
+    mlp_ratio: float
+    compress_ratio: int
+    prompt_len: int
+    drop_path: Tuple[float, ...] = ()
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        shortcut = x
+        for i in range(self.depth):
+            x = PGSSTB(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                window_size=self.window_size,
+                shift_size=0 if i % 2 == 0 else self.window_size // 2,
+                mlp_ratio=self.mlp_ratio,
+                compress_ratio=self.compress_ratio,
+                prompt_len=self.prompt_len,
+                drop_path=self.drop_path[i] if self.drop_path else 0.0,
+                use_bias=self.use_bias,
+                axis_name=self.axis_name,
+                name=f"blocks_{i}",
+            )(x, deterministic)
+        return x + shortcut
