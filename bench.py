@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: ICVL-shaped 512x512x31 restoration throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "cubes/sec", "vs_baseline": N}
+
+vs_baseline is measured against an estimated PyTorch-reference A100
+throughput for the same model/shape. No throughput number exists anywhere in
+the reference repo (BASELINE.json "published" is {}), so the denominator is
+a FLOP-based estimate documented in BENCH_NOTES.md; it will be replaced by a
+measured number if one becomes available.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+# Estimated reference throughput (cubes/sec, A100, fp16, batch 1) for
+# MP_HSIR_Net(31, 31, dim=64) on 512x512x31. See BENCH_NOTES.md for the
+# derivation. Conservative (i.e. favors the reference).
+REFERENCE_A100_CUBES_PER_SEC = 2.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mp_hsir_tpu.config import natural_scene_config
+    from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
+    from mp_hsir_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = natural_scene_config(compute_dtype="bfloat16")
+    params = init_params(cfg, jax.random.key(0), sample_hw=64)
+    model = MPHSIRNet(cfg)
+
+    @jax.jit
+    def fwd(p, x, t):
+        return model.apply({"params": p}, x, t)
+
+    h = w = 512
+    x = jax.random.uniform(jax.random.key(1), (1, cfg.in_channels, h, w), jnp.float32)
+    tid = jnp.zeros((1,), jnp.int32)
+
+    # warmup / compile
+    fwd(params, x, tid).block_until_ready()
+
+    n_iter = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fwd(params, x, tid)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    cubes_per_sec = n_iter / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "ICVL 512x512x31 restoration throughput (single chip, bf16, batch 1)",
+                "value": round(cubes_per_sec, 4),
+                "unit": "cubes/sec",
+                "vs_baseline": round(cubes_per_sec / REFERENCE_A100_CUBES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

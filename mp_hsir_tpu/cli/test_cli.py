@@ -1,0 +1,192 @@
+"""Evaluation CLI — keeps the reference's interface and stdout contract
+(reference: test.py:540-645): ``--mode 0..12`` selects the degradation task,
+metrics print as ``... psnr: %.2f, ssim: %.4f`` (plus a SAM line the paper
+reports but the reference never implemented).
+
+TPU-native differences: the network forward is jitted once per cube shape,
+metrics are computed on device in parallel over bands, and checkpoints may
+be either native Orbax trees or reference Lightning .ckpt files (converted
+on the fly by training/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from mp_hsir_tpu.config import EvalConfig, ModelConfig, natural_scene_config, remote_sensing_config
+from mp_hsir_tpu.data import eval_datasets as ED
+from mp_hsir_tpu.ops.metrics import (
+    AverageMeter,
+    compute_psnr_ssim,
+    compute_psnr_ssim_missing_bands,
+    compute_sam,
+)
+from mp_hsir_tpu.utils.image import save_false_color
+
+# task-id prompt routed to the net per mode (reference: hard-coded
+# torch.tensor([k]) in each test_* function, test.py:163,203,243,278,313,
+# 350,381,421,453,483,513)
+MODE_TASK_ID = {0: 0, 1: 1, 2: 1, 3: 1, 4: 1, 5: 2, 6: 0, 7: 3, 8: 4, 9: 5, 10: 5, 11: 0, 12: 1}
+
+MODE_SUBDIR = {
+    0: "gaussian_denoise", 1: "gaussian_inid_denoise", 2: "destripe",
+    3: "deadline_denoise", 4: "impulse_denoise", 5: "gaussian_deblur",
+    6: "motion_deblur", 7: "super_resolution", 8: "inpaint", 9: "dehaze",
+    10: "bandmis", 11: "poisson", 12: "real",
+}
+
+MODE_LABEL = {
+    0: lambda c: f"Denoise sigma={c.gaussian_noise_sigma}",
+    1: lambda c: f"Denoise sigma={list(c.gaussian_noise_sigmas)}",
+    2: lambda c: f"Destripe stripe ratio={list(c.stripe_noise_ratio)}",
+    3: lambda c: f"Deadline denoise deadline ratio={list(c.deadline_noise_ratio)}",
+    4: lambda c: f"Impulse denoise impulse ratio={list(c.impulse_noise_ratio)}",
+    5: lambda c: f"Gaussian deblur sigma={c.gaussian_blur_radius}",
+    6: lambda c: f"Motion deblur motion radius={c.motion_blur}",
+    7: lambda c: f"Super resolution downsample factor={c.downsample_factor}",
+    8: lambda c: f"Inpaint mask ratio={c.mask_ratio:f}",
+    9: lambda c: f"Dehaze haze omega={c.haze_omega}",
+    10: lambda c: f"Bandmiss ratio={c.bandmis_ratio:f}",
+    11: lambda c: "Degrad_Id=1",
+    12: lambda c: "Degrad_Id=1",
+}
+
+
+def load_model_and_params(ckpt_path: str, model_cfg: ModelConfig):
+    import jax
+
+    from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
+    from mp_hsir_tpu.training import checkpoint as CKPT
+    from mp_hsir_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+    params = init_params(model_cfg, jax.random.key(0), sample_hw=64)
+    if ckpt_path:
+        if ckpt_path.endswith((".ckpt", ".pt", ".pth")):
+            params, _ = CKPT.load_reference_checkpoint(ckpt_path, params)
+        else:
+            params = CKPT.restore_params(ckpt_path, params)
+    model = MPHSIRNet(model_cfg)
+    fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+    return params, fwd
+
+
+def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None) -> dict:
+    import jax.numpy as jnp
+
+    mode = cfg.mode
+    if mode not in ED.MODE_DATASETS:
+        raise SystemExit(f"unknown mode {mode}")
+    task_id = MODE_TASK_ID[mode]
+    if mode == 10 and model_cfg.task_classes == 7:
+        task_id = 6  # remote-sensing band-missing prompt (reference test.py:514)
+    if task_id >= model_cfg.task_classes:
+        raise SystemExit(f"task id {task_id} out of range for {model_cfg.task_classes} classes")
+
+    if params is None or fwd is None:
+        params, fwd = load_model_and_params(cfg.ckpt_path, model_cfg)
+
+    dataset = ED.MODE_DATASETS[mode](cfg)
+    out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
+    psnr, ssim, sam = AverageMeter(), AverageMeter(), AverageMeter()
+    wall = 0.0
+
+    for item in dataset:
+        degraded = item["degraded"][None]
+        clean = item["clean"][None]
+        t0 = time.perf_counter()
+        restored = fwd(params, jnp.asarray(degraded), jnp.asarray([task_id]))
+        restored.block_until_ready()
+        wall += time.perf_counter() - t0
+
+        if mode == 10:
+            p, s, n = compute_psnr_ssim_missing_bands(restored, jnp.asarray(clean), jnp.asarray(degraded))
+        else:
+            p, s, n = compute_psnr_ssim(restored, jnp.asarray(np.clip(clean, 0, 1)))
+        psnr.update(p, n)
+        ssim.update(s, n)
+        sam.update(compute_sam(restored, jnp.asarray(clean)), n)
+
+        if cfg.save_images:
+            rest_np = np.asarray(restored)
+            save_false_color(clean, cfg.select_bands, os.path.join(out_dir, f"origin_{item['name']}.png"))
+            save_false_color(degraded, cfg.select_bands, os.path.join(out_dir, f"degraded_{item['name']}.png"))
+            save_false_color(np.clip(rest_np, 0, 1), cfg.select_bands, os.path.join(out_dir, f"restored_{item['name']}.png"))
+
+    label = MODE_LABEL[mode](cfg)
+    print("%s: psnr: %.2f, ssim: %.4f" % (label, psnr.avg, ssim.avg))
+    print("%s: sam: %.3f deg, net time: %.3f s/cube" % (label, sam.avg, wall / max(len(dataset), 1)))
+    return {"psnr": psnr.avg, "ssim": ssim.avg, "sam": sam.avg, "sec_per_cube": wall / max(len(dataset), 1)}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="MP-HSIR-TPU evaluation")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--mode", type=int, default=0, help="degradation mode 0..12")
+    p.add_argument("--test_dir", type=str, required=True)
+    p.add_argument("--test_degrad_dir", type=str, default="")
+    p.add_argument("--gaussian_noise_sigma", type=int, default=70)
+    p.add_argument("--gaussian_noise_sigmas", type=int, nargs="+", default=[10, 30, 50, 70])
+    p.add_argument("--stripe_nosie_ratio", type=float, nargs=2, default=[0.05, 0.15])
+    p.add_argument("--deadline_nosie_ratio", type=float, nargs=2, default=[0.05, 0.15])
+    p.add_argument("--impulse_nosie_ratio", type=float, nargs="+", default=[0.1, 0.3, 0.5, 0.7])
+    p.add_argument("--gaussian_blur_radius", type=int, default=15)
+    p.add_argument("--motion_blur_radius", type=int, nargs=2, default=[15, 45])
+    p.add_argument("--downsample_factor", type=int, default=8)
+    p.add_argument("--mask_ratio", type=float, default=0.9)
+    p.add_argument("--haze_omega", type=float, default=1.0)
+    p.add_argument("--bandmis_ratio", type=float, default=0.3)
+    p.add_argument("--select_bands", type=int, nargs="+", default=[27, 15, 9])
+    p.add_argument("--output_path", type=str, default="output/")
+    p.add_argument("--ckpt_path", type=str, default="")
+    p.add_argument("--data_type", type=str, default="natural_scene",
+                   choices=["natural_scene", "remote_sensing"])
+    p.add_argument("--no_save_images", action="store_true")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = EvalConfig(
+        seed=args.seed, mode=args.mode, test_dir=args.test_dir,
+        test_degrad_dir=args.test_degrad_dir,
+        gaussian_noise_sigma=args.gaussian_noise_sigma,
+        gaussian_noise_sigmas=tuple(args.gaussian_noise_sigmas),
+        stripe_noise_ratio=tuple(args.stripe_nosie_ratio),
+        deadline_noise_ratio=tuple(args.deadline_nosie_ratio),
+        impulse_noise_ratio=tuple(args.impulse_nosie_ratio),
+        gaussian_blur_radius=args.gaussian_blur_radius,
+        motion_blur=tuple(args.motion_blur_radius),
+        downsample_factor=args.downsample_factor,
+        mask_ratio=args.mask_ratio, haze_omega=args.haze_omega,
+        bandmis_ratio=args.bandmis_ratio,
+        select_bands=tuple(args.select_bands), output_path=args.output_path,
+        ckpt_path=args.ckpt_path, save_images=not args.no_save_images,
+    )
+    model_cfg = natural_scene_config() if args.data_type == "natural_scene" else remote_sensing_config()
+    mode_msgs = {
+        0: f"Start gaussian denoise testing sigma={cfg.gaussian_noise_sigma}",
+        1: f"Start inid gaussian denoise testing sigma={list(cfg.gaussian_noise_sigmas)}",
+        2: f"Start destripe testing stripe ratio={list(cfg.stripe_noise_ratio)}",
+        3: f"Start deadline denoise testing deadline ratio={list(cfg.deadline_noise_ratio)}",
+        4: f"Start impulse denoise testing impulse ratio={list(cfg.impulse_noise_ratio)}",
+        5: f"Start gaussian deblur testing sigma={cfg.gaussian_blur_radius}",
+        6: f"Start Motion deblur testing motion radius={cfg.motion_blur}",
+        7: f"Start super-resolution testing downsampling factor={cfg.downsample_factor}",
+        8: f"Start inpaint testing mask ratio ={cfg.mask_ratio}",
+        9: f"Start dehaze testing haze omega ={cfg.haze_omega}",
+        10: f"Start bandmis ratio ={cfg.bandmis_ratio}",
+        11: "Start poisson degradation testing (zero-shot)",
+        12: "Start real noise degradation testing",
+    }
+    print(mode_msgs.get(cfg.mode, f"mode {cfg.mode}"))
+    run_mode(cfg, model_cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""ctypes binding for the native HSPS reader (native/hsps_loader.cpp).
+
+Falls back to the pure-NumPy PatchStore when the shared library cannot be
+built; both expose the same gather() contract, and tests assert they agree
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native"
+)
+_SO_PATH = os.path.join(_NATIVE_DIR, "libhsps.so")
+
+
+def _build_library() -> Optional[str]:
+    if os.path.exists(_SO_PATH):
+        return _SO_PATH
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        return _SO_PATH if os.path.exists(_SO_PATH) else None
+    except Exception:
+        return None
+
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = _build_library()
+    if path is None:
+        return None
+    lib = ctypes.CDLL(path)
+    lib.hsps_open.restype = ctypes.c_void_p
+    lib.hsps_open.argtypes = [ctypes.c_char_p]
+    lib.hsps_count.restype = ctypes.c_int64
+    lib.hsps_count.argtypes = [ctypes.c_void_p]
+    lib.hsps_shape.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+    lib.hsps_gather.restype = ctypes.c_int
+    lib.hsps_gather.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+    ]
+    lib.hsps_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class NativePatchStore:
+    """Native mmap + threaded gather over an HSPS directory. Index space is
+    the store's FULL patch list (no name filter; compose with PatchStore's
+    valid_idx for filtered training)."""
+
+    def __init__(self, path: str, n_threads: int = 4):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native hsps library unavailable (g++ build failed)")
+        self._lib = lib
+        self._h = lib.hsps_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(path)
+        self.n_threads = n_threads
+
+    def __len__(self) -> int:
+        return int(self._lib.hsps_count(self._h))
+
+    def shape_of(self, i: int):
+        chw = (ctypes.c_int32 * 3)()
+        self._lib.hsps_shape(self._h, int(i), chw)
+        return (chw[0], chw[1], chw[2])
+
+    def gather(self, idxs: np.ndarray) -> np.ndarray:
+        idxs = np.ascontiguousarray(idxs, np.int64)
+        c, h, w = self.shape_of(int(idxs[0]) % len(self))
+        out = np.empty((len(idxs), c, h, w), np.float32)
+        rc = self._lib.hsps_gather(
+            self._h,
+            idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idxs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n_threads,
+        )
+        if rc != 0:
+            raise ValueError("mixed patch shapes in gather")
+        return out
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.hsps_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def native_available() -> bool:
+    return _load() is not None

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from mp_hsir_tpu.ops.basic import gelu_exact, layer_norm, pixel_shuffle, pixel_unshuffle
 from mp_hsir_tpu.ops.conv import conv2d
-from mp_hsir_tpu.ops.resize import resize_bilinear, resize_nearest
+from mp_hsir_tpu.ops.resize import resize_bilinear, resize_bilinear_row_block, resize_nearest
 from mp_hsir_tpu.ops.window import (
     roll_hw,
     shifted_window_mask,
@@ -490,8 +490,17 @@ class TVSP(nn.Module):
         tp = resize_nearest(tp, self.prompt_size, self.prompt_size).astype(x.dtype)
 
         vis = jnp.broadcast_to(visual_prompt[None], (b,) + visual_prompt.shape).astype(x.dtype)
+        # the prompt maps are replicated across spatial shards (they are
+        # (prompt_size, prompt_size), independent of the feature grid), so the
+        # cross transformer runs unsharded on every shard
         prompts = CrossTransformer(d, num_heads=2, expansion=2.66, use_bias=False, name="cross_transformer")(tp, vis)
-        out = resize_bilinear(prompts, h, w, align_corners=False)
+        n_sp = jax.lax.axis_size(self.axis_name) if self.axis_name is not None else 1
+        if n_sp > 1:
+            # each shard materializes only its row block of the global resize
+            start = jax.lax.axis_index(self.axis_name) * h
+            out = resize_bilinear_row_block(prompts, h * n_sp, w, start, h)
+        else:
+            out = resize_bilinear(prompts, h, w, align_corners=False)
         return Conv2d(self.out_dim, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv_last")(out)
 
 
@@ -535,6 +544,10 @@ class PGSSTB(nn.Module):
     mlp_ratio: float
     compress_ratio: int
     prompt_len: int
+    # the resolution this block was *configured* for: the reference freezes
+    # the window-size/shift decision at construction from input_resolution
+    # (net/MP_HSIR.py:613-616) and only recomputes masks for runtime shapes
+    input_resolution: Tuple[int, int] = (64, 64)
     drop_path: float = 0.0
     use_bias: bool = False
     axis_name: Optional[str] = None
@@ -542,18 +555,31 @@ class PGSSTB(nn.Module):
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift_size if ws == self.window_size else 0
+        n_sp = jax.lax.axis_size(self.axis_name) if self.axis_name is not None else 1
+        gh = h * n_sp  # global height when H is mesh-sharded
+
+        ws = self.window_size
+        shift = self.shift_size
+        if min(self.input_resolution) <= ws:
+            shift = 0
+            ws = min(self.input_resolution)
+        ws = min(ws, gh, w)
+        assert h % ws == 0, "sharded rows must be a multiple of the window size"
 
         shortcut = x
         xn = LayerNorm(self.dim, name="norm1")(x)
 
         if shift > 0:
             xn = roll_hw(xn, -shift, -shift, self.axis_name)
-        windows = window_partition(xn, ws)  # (B*nW, ws*ws, C)
+        windows = window_partition(xn, ws)  # (B*nW_local, ws*ws, C)
 
         if shift > 0:
-            mask = jnp.asarray(shifted_window_mask(h, w, ws, shift))
+            mask = jnp.asarray(shifted_window_mask(gh, w, ws, shift))
+            if n_sp > 1:
+                # this shard owns a contiguous block of global window rows
+                nw_local = (h // ws) * (w // ws)
+                start = jax.lax.axis_index(self.axis_name) * nw_local
+                mask = jax.lax.dynamic_slice_in_dim(mask, start, nw_local, axis=0)
         else:
             mask = None
         sa = SpatialAttention(self.dim, ws, self.num_heads, name="attn")(windows, mask)
@@ -590,6 +616,7 @@ class BaseBlock(nn.Module):
     mlp_ratio: float
     compress_ratio: int
     prompt_len: int
+    input_resolution: Tuple[int, int] = (64, 64)
     drop_path: Tuple[float, ...] = ()
     use_bias: bool = False
     axis_name: Optional[str] = None
@@ -606,6 +633,7 @@ class BaseBlock(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 compress_ratio=self.compress_ratio,
                 prompt_len=self.prompt_len,
+                input_resolution=self.input_resolution,
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
                 use_bias=self.use_bias,
                 axis_name=self.axis_name,

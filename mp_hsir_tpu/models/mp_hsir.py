@@ -52,21 +52,22 @@ class MPHSIRNet(nn.Module):
         dp3 = tuple(dpr[nb[0] + nb[1] :])
         table = clip_text_table(cfg.task_classes)
 
-        def base_block(name, d, depth, heads, ws, cr, dp):
+        def base_block(name, d, depth, heads, ws, cr, dp, level):
+            res = (cfg.train_resolution[0] >> level, cfg.train_resolution[1] >> level)
             return L.BaseBlock(
                 dim=d, depth=depth, num_heads=heads, window_size=ws,
                 mlp_ratio=cfg.ffn_expansion_factor, compress_ratio=cr,
-                prompt_len=cfg.prompt_len, drop_path=dp, use_bias=cfg.bias,
-                axis_name=ax, name=name,
+                prompt_len=cfg.prompt_len, input_resolution=res, drop_path=dp,
+                use_bias=cfg.bias, axis_name=ax, name=name,
             )
 
         # ---- encoder ----
         x1 = L.OverlapPatchEmbed(dim, cfg.bias, ax, name="patch_embed")(x)
-        enc1 = base_block("encoder_level1", dim, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1)(x1, deterministic)
+        enc1 = base_block("encoder_level1", dim, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(x1, deterministic)
         x2 = L.Downsample(dim, ax, name="down1_2")(enc1)
-        enc2 = base_block("encoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2)(x2, deterministic)
+        enc2 = base_block("encoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(x2, deterministic)
         x3 = L.Downsample(dim * 2, ax, name="down2_3")(enc2)
-        latent = base_block("latent", dim * 4, nb[2], cfg.heads[2], cfg.window_size[2], cfg.compress_ratios[2], dp3)(x3, deterministic)
+        latent = base_block("latent", dim * 4, nb[2], cfg.heads[2], cfg.window_size[2], cfg.compress_ratios[2], dp3, 2)(x3, deterministic)
 
         # ---- decoder level 2 with TVSP prompt injection ----
         d2 = L.Upsample(dim * 4, ax, name="up3_2")(latent)
@@ -76,7 +77,7 @@ class MPHSIRNet(nn.Module):
         enc2f = L.PromptFusion(dim * 4, dim * 2, num_heads=8, use_bias=cfg.bias, axis_name=ax, name="fusion2")(enc2, p2)
         d2 = jnp.concatenate([d2, enc2f], axis=-1)
         d2 = L.Conv2d(dim * 2, 1, use_bias=cfg.bias, name="reduce_chan_level2")(d2)
-        dec2 = base_block("decoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2)(d2, deterministic)
+        dec2 = base_block("decoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(d2, deterministic)
 
         # ---- decoder level 1 (no channel reduction; runs at 2*dim) ----
         d1 = L.Upsample(dim * 2, ax, name="up2_1")(dec2)
@@ -85,8 +86,8 @@ class MPHSIRNet(nn.Module):
         )
         enc1f = L.PromptFusion(dim * 2, dim, num_heads=4, use_bias=cfg.bias, axis_name=ax, name="fusion1")(enc1, p1)
         d1 = jnp.concatenate([d1, enc1f], axis=-1)
-        dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1)(d1, deterministic)
-        ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp2)(dec1, deterministic)
+        dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(d1, deterministic)
+        ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp2, 0)(dec1, deterministic)
 
         out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax, name="output")(ref)
         out = out.astype(jnp.float32) + inp.astype(jnp.float32).transpose(0, 2, 3, 1)

@@ -1,0 +1,231 @@
+"""Batched on-device train-time degradation + augmentation.
+
+The reference degrades each sample on CPU inside DataLoader workers
+(utils/dataset_utils.py:128-146 -> utils/degradation_utils.py:420). On TPU
+the host should only stream *clean* patches; the degradation runs inside the
+jitted train step, vmapped over the batch, with per-sample task ids routed
+through ``lax.switch``. Intensity tables mirror
+utils/dataset_utils.py:112,117.
+
+Every branch is fixed-shape: kernel banks are padded to the family's max
+size and indexed, data-dependent counts become permutation-rank masks, and
+multi-factor SR evaluates its (cheap) static branches under switch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mp_hsir_tpu.data.degradations_np import (
+    circle_blur_kernel,
+    gaussian_blur_kernel,
+    motion_blur_kernel,
+)
+from mp_hsir_tpu.ops import degradations as D
+
+Array = jax.Array
+
+NATURAL_DE_TYPES = ("gaussianN", "complexN", "blur", "sr", "inpaint", "bandmiss")
+REMOTE_DE_TYPES = ("gaussianN", "complexN", "blur", "sr", "inpaint", "haze", "bandmiss")
+
+TABLES = {
+    "natural_scene": {
+        "gaussianN": dict(sigma_range=(30, 70)),
+        "complexN": dict(sigmas=(10, 30, 50, 70), deadline=(0.05, 0.15),
+                         impulse=(0.1, 0.3, 0.5, 0.7), stripe=(0.05, 0.15)),
+        "blur": dict(ksizes=(9, 15, 21)),
+        "sr": dict(factors=(2, 4, 8)),
+        "inpaint": dict(ratios=(0.7, 0.8, 0.9)),
+        "bandmiss": dict(rates=(0.1, 0.2, 0.3)),
+        "motion_blur": dict(kernels=((15, 45),)),
+        # standalone variants used by the classifier pipeline
+        # (utils/dataset_utils.py:160; applied to the clean patch — the
+        # reference's standalone branches discard their gaussian stage,
+        # degradation_utils.py:326-347)
+        "deadline": dict(amount=(0.05, 0.15)),
+        "stripe": dict(amount=(0.05, 0.15)),
+        "impulse": dict(amounts=(0.1, 0.3, 0.5, 0.7)),
+    },
+    "remote_sensing": {
+        "gaussianN": dict(sigma_range=(30, 70)),
+        "complexN": dict(sigmas=(10, 30, 50, 70), deadline=(0.05, 0.15),
+                         impulse=(0.1, 0.3, 0.5, 0.7), stripe=(0.05, 0.15)),
+        "blur": dict(ksizes=(7, 11, 15)),
+        "sr": dict(factors=(2, 4, 8)),
+        "inpaint": dict(ratios=(0.7, 0.8, 0.9)),
+        "haze": dict(omegas=(0.5, 0.75, 1.0)),
+        "bandmiss": dict(rates=(0.1, 0.2, 0.3)),
+        "circle_blur": dict(ksizes=(9,)),
+        "poissonN": dict(scales=(10.0,)),
+        "deadline": dict(amount=(0.05, 0.15)),
+        "stripe": dict(amount=(0.05, 0.15)),
+        "impulse": dict(amounts=(0.1, 0.3, 0.5, 0.7)),
+    },
+}
+
+CLASSIFIER_DE_TYPES = {
+    "natural_scene": ("gaussianN", "deadline", "impulse", "stripe", "blur", "sr", "inpaint"),
+    "remote_sensing": ("gaussianN", "deadline", "impulse", "stripe", "blur", "sr", "inpaint", "haze"),
+}
+
+
+def _kernel_bank(ksizes: Sequence[int], maker) -> np.ndarray:
+    """Stack kernels zero-padded to the max size; a padded kernel convolved
+    with max-size padding is numerically identical to the original."""
+    kmax = max(ksizes)
+    bank = np.zeros((len(ksizes), kmax, kmax), np.float32)
+    for i, k in enumerate(ksizes):
+        pad = (kmax - k) // 2
+        bank[i, pad : pad + k, pad : pad + k] = maker(k)
+    return bank
+
+
+def _choice(key: jax.Array, values: Sequence[float]) -> Array:
+    vals = jnp.asarray(values, jnp.float32)
+    return vals[jax.random.randint(key, (), 0, len(values))]
+
+
+def make_degrader(
+    de_types: Sequence[str],
+    data_type: str,
+    cirrus_bank: Optional[np.ndarray] = None,
+) -> Callable[[jax.Array, Array, Array], Array]:
+    """Returns degrade(key, clean (C,H,W), de_id) -> degraded (C,H,W)."""
+    table = TABLES[data_type]
+    branches = []
+
+    for t in de_types:
+        cfgt = table[t]
+        if t == "gaussianN":
+            def fn(key, x, _cfg=cfgt):
+                return D.gaussian_noise_iid(key, x, _cfg["sigma_range"])
+        elif t == "complexN":
+            def fn(key, x, _cfg=cfgt):
+                k0, k1, k2, k3 = jax.random.split(key, 4)
+                noisy = D.gaussian_noise_non_iid(k0, x, _cfg["sigmas"])
+                type_idx = jax.random.randint(k1, (), 0, 3)
+                amount = _choice(k2, _cfg["impulse"])
+                return jax.lax.switch(
+                    type_idx,
+                    [
+                        lambda k, y: D.deadline_noise(k, y, _cfg["deadline"]),
+                        lambda k, y: D.impulse_noise(k, y, amount),
+                        lambda k, y: D.stripe_noise(k, y, _cfg["stripe"]),
+                    ],
+                    k3,
+                    noisy,
+                )
+        elif t == "blur":
+            bank = _kernel_bank(cfgt["ksizes"], gaussian_blur_kernel)
+            def fn(key, x, _bank=bank):
+                idx = jax.random.randint(key, (), 0, _bank.shape[0])
+                return D.apply_blur(x, jnp.asarray(_bank)[idx])
+        elif t == "circle_blur":
+            bank = _kernel_bank(cfgt["ksizes"], circle_blur_kernel)
+            def fn(key, x, _bank=bank):
+                idx = jax.random.randint(key, (), 0, _bank.shape[0])
+                return D.apply_blur(x, jnp.asarray(_bank)[idx])
+        elif t == "motion_blur":
+            kernels = [motion_blur_kernel(k, a) for (k, a) in cfgt["kernels"]]
+            kmax = max(k.shape[0] for k in kernels)
+            bank = np.zeros((len(kernels), kmax, kmax), np.float32)
+            for i, k in enumerate(kernels):
+                p = (kmax - k.shape[0]) // 2
+                bank[i, p : p + k.shape[0], p : p + k.shape[0]] = k
+            def fn(key, x, _bank=bank):
+                idx = jax.random.randint(key, (), 0, _bank.shape[0])
+                return D.apply_blur(x, jnp.asarray(_bank)[idx])
+        elif t == "sr":
+            factors = cfgt["factors"]
+            def fn(key, x, _factors=factors):
+                idx = jax.random.randint(key, (), 0, len(_factors))
+                return jax.lax.switch(idx, [partial(D.sr_degrade, factor=f) for f in _factors], x)
+        elif t == "inpaint":
+            def fn(key, x, _cfg=cfgt):
+                k1, k2 = jax.random.split(key)
+                return D.random_mask(k2, x, _choice(k1, _cfg["ratios"]))
+        elif t == "bandmiss":
+            def fn(key, x, _cfg=cfgt):
+                k1, k2 = jax.random.split(key)
+                c = x.shape[0]
+                rate = _choice(k1, _cfg["rates"])
+                count = jnp.floor(rate * c).astype(jnp.int32)
+                keep = ~(jax.random.permutation(k2, c) < count)
+                return x * keep[:, None, None]
+        elif t == "haze":
+            assert cirrus_bank is not None, "haze degradation needs a cirrus template bank"
+            cb = jnp.asarray(cirrus_bank)
+            def fn(key, x, _cfg=cfgt, _cb=cb):
+                k1, k2 = jax.random.split(key)
+                omega = _choice(k1, _cfg["omegas"])
+                cir = _cb[jax.random.randint(k2, (), 0, _cb.shape[0])]
+                return D.simulate_haze(x, cir, omega)
+        elif t == "poissonN":
+            def fn(key, x, _cfg=cfgt):
+                k1, k2 = jax.random.split(key)
+                return D.poisson_noise(k2, x, float(_cfg["scales"][0]))
+        elif t == "deadline":
+            def fn(key, x, _cfg=cfgt):
+                return D.deadline_noise(key, x, _cfg["amount"])
+        elif t == "stripe":
+            def fn(key, x, _cfg=cfgt):
+                return D.stripe_noise(key, x, _cfg["amount"])
+        elif t == "impulse":
+            def fn(key, x, _cfg=cfgt):
+                k1, k2 = jax.random.split(key)
+                return D.impulse_noise(k2, x, _choice(k1, _cfg["amounts"]))
+        else:
+            raise ValueError(f"unknown degradation type {t}")
+        branches.append(fn)
+
+    def degrade(key: jax.Array, clean: Array, de_id: Array) -> Array:
+        return jax.lax.switch(de_id, branches, key, clean)
+
+    return degrade
+
+
+# ---------------------------------------------------------------------------
+# 8-way flip/rot augmentation (reference: utils/image_utils.py:141-191)
+# ---------------------------------------------------------------------------
+
+def _augment_one(x: Array, mode: Array) -> Array:
+    """(C, H, W); mode 0..7 like the reference's data_augmentation (H-flip is
+    their `flipud` on axis -2; rotations are CCW in the (H, W) plane)."""
+    fns = [
+        lambda a: a,
+        lambda a: a[:, ::-1, :],
+        lambda a: jnp.rot90(a, 1, (1, 2)),
+        lambda a: jnp.rot90(a, 1, (1, 2))[:, ::-1, :],
+        lambda a: jnp.rot90(a, 2, (1, 2)),
+        lambda a: jnp.rot90(a, 2, (1, 2))[:, ::-1, :],
+        lambda a: jnp.rot90(a, 3, (1, 2)),
+        lambda a: jnp.rot90(a, 3, (1, 2))[:, ::-1, :],
+    ]
+    return jax.lax.switch(mode, fns, x)
+
+
+def make_batch_degrader(
+    de_types: Sequence[str], data_type: str, cirrus_bank: Optional[np.ndarray] = None
+):
+    """degrade_batch(key, clean (B,C,H,W), de_ids (B,)) ->
+    (degraded, clean) both augmented with the same per-sample mode
+    (the reference draws its augmentation flag from randint(1,7) — never the
+    identity — utils/image_utils.py:186-191)."""
+    degrade = make_degrader(de_types, data_type, cirrus_bank)
+
+    def one(key: jax.Array, clean: Array, de_id: Array):
+        kd, ka = jax.random.split(key)
+        degraded = degrade(kd, clean, de_id)
+        mode = jax.random.randint(ka, (), 1, 8)
+        return _augment_one(degraded, mode), _augment_one(clean, mode)
+
+    def batch(key: jax.Array, clean: Array, de_ids: Array):
+        keys = jax.random.split(key, clean.shape[0])
+        return jax.vmap(one)(keys, clean, de_ids)
+
+    return batch

@@ -91,6 +91,20 @@ def resize_bilinear(x: jax.Array, out_h: int, out_w: int, align_corners: bool = 
     return _apply_separable(x, _resize_matrix(h, out_h, "bilinear", align_corners), _resize_matrix(w, out_w, "bilinear", align_corners))
 
 
+def resize_bilinear_row_block(
+    x: jax.Array, global_out_h: int, out_w: int, row_start, rows: int, align_corners: bool = False
+) -> jax.Array:
+    """Bilinear-resize to (global_out_h, out_w) but materialize only `rows`
+    output rows starting at (traced) `row_start` — the building block for
+    spatially sharded upsampling: each shard computes its own row block of
+    the global resize from a replicated source."""
+    h, w = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(_resize_matrix(h, global_out_h, "bilinear", align_corners))
+    mh = jax.lax.dynamic_slice_in_dim(mh, row_start, rows, axis=0)
+    mw = _resize_matrix(w, out_w, "bilinear", align_corners)
+    return _apply_separable(x, mh, mw)
+
+
 def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """NHWC nearest resize: src = min(floor(i*in/out), in-1) (torch 'nearest')."""
     h, w = x.shape[-3], x.shape[-2]

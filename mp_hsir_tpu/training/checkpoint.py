@@ -1,0 +1,198 @@
+"""Checkpointing: Orbax-backed native checkpoints plus a PyTorch-Lightning
+checkpoint converter with the reference's shape-filtered partial-load
+semantics (reference: train.py:109-116 — keep every tensor whose name and
+shape match, silently skip the rest; test.py:575 strict=False).
+
+Torch parameter layout differences handled mechanically:
+* conv weights OIHW -> HWIO
+* linear weights (out, in) -> (in, out)
+* `visual_prompt` (1, D, ps, ps) -> (ps, ps, D)
+* `text_prompt_learnable` (1, T, D, 1, 1) -> (T, D)
+* Restormer LayerNorm `*.body.weight` -> `*.weight`
+* `blocks.N.*` module lists -> `blocks_N.*`
+* buffers (attn_mask, relative_position_index) are recomputed, not loaded
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Orbax native checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 0) -> str:
+    """Save params+opt_state+step with Orbax; returns the path."""
+    import orbax.checkpoint as ocp
+
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"step_{step:08d}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(path: str, target_state):
+    """Restore into the structure of `target_state` (full resume)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": target_state.params,
+        "opt_state": target_state.opt_state,
+        "step": target_state.step,
+    }
+    restored = ckptr.restore(os.path.abspath(path), payload)
+    return target_state.replace(
+        params=restored["params"], opt_state=restored["opt_state"], step=restored["step"]
+    )
+
+
+def save_params(path: str, params) -> None:
+    """Params-only checkpoint (eval/distribution artifact)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, target_params):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target_params)
+
+
+# ---------------------------------------------------------------------------
+# Torch Lightning -> JAX conversion
+# ---------------------------------------------------------------------------
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a Lightning .ckpt (or bare state_dict .pt/.pth) into numpy,
+    stripping the Lightning `net.` / `model.` prefixes."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    out = {}
+    for k, v in sd.items():
+        if not hasattr(v, "numpy"):
+            continue
+        k = re.sub(r"^(net\.|model\.)", "", k)
+        out[k] = v.detach().float().numpy()
+    return out
+
+
+_SKIP_PATTERNS = (
+    re.compile(r"attn_mask$"),
+    re.compile(r"relative_position_index$"),
+    re.compile(r"(text_linear|clip_linear)\.(weight|bias)$"),  # unused at runtime
+)
+
+
+def _torch_key_to_path(key: str) -> Tuple[str, ...]:
+    """Map a torch dotted name onto our flax param-tree path."""
+    key = key.replace(".body.weight", ".weight").replace(".body.bias", ".bias")
+    # module lists: blocks.3.x -> blocks_3.x
+    key = re.sub(r"\bblocks\.(\d+)\.", r"blocks_\1.", key)
+    # torch Sequential conv inside Down/Upsample: body.0 -> conv
+    key = re.sub(r"\b(down1_2|down2_3|up3_2|up2_1)\.body\.0\.", r"\1.conv.", key)
+    return tuple(key.split("."))
+
+
+def _adapt(value: np.ndarray, target: np.ndarray, path: Tuple[str, ...]):
+    """Reshape/transpose a torch tensor into the target param layout;
+    returns None when shapes are irreconcilable (-> keep target, the
+    reference's shape-filter)."""
+    leaf = path[-1]
+    if path[-2] == "visual_prompt" or leaf == "visual_prompt":
+        v = np.transpose(value[0], (1, 2, 0))  # (D,ps,ps) -> (ps,ps,D)
+        return v if v.shape == target.shape else None
+    if leaf == "text_prompt_learnable" or (len(path) >= 2 and path[-2] == "text_prompt_learnable"):
+        v = value.reshape(value.shape[1], value.shape[2])
+        return v if v.shape == target.shape else None
+    if leaf == "weight" and value.ndim == 2:
+        # torch Linear weights are ALWAYS (out, in); transpose even when
+        # square (a shape-equality check would silently keep the wrong
+        # orientation). 2-D non-linear params (e.g. the relative-position
+        # bias table) have different leaf names and fall through below.
+        v = value.T
+        return v if v.shape == target.shape else None
+    if leaf == "weight" and value.ndim == 4:
+        v = np.transpose(value, (2, 3, 1, 0))  # conv OIHW -> HWIO
+        return v if v.shape == target.shape else None
+    if value.shape == target.shape:
+        return value
+    return None
+
+
+def convert_torch_state(
+    torch_state: Dict[str, np.ndarray], target_params
+) -> Tuple[Any, Dict[str, Any]]:
+    """Merge a torch state_dict into a flax param pytree.
+
+    Returns (params, report) where report lists loaded / skipped-by-shape /
+    unmatched keys, mirroring the reference's tolerant warm-start."""
+    flat = _flatten(target_params)
+    loaded, shape_skipped, unmatched = [], [], []
+    for k, v in torch_state.items():
+        if any(p.search(k) for p in _SKIP_PATTERNS):
+            continue
+        path = _torch_key_to_path(k)
+        if path not in flat:
+            # special-case: prompt modules store learnables one level up
+            unmatched.append(k)
+            continue
+        adapted = _adapt(v, flat[path], path)
+        if adapted is None:
+            shape_skipped.append(k)
+            continue
+        flat[path] = np.asarray(adapted, dtype=np.asarray(flat[path]).dtype)
+        loaded.append(k)
+    report = {"loaded": loaded, "shape_skipped": shape_skipped, "unmatched": unmatched}
+    return _unflatten(flat, target_params), report
+
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray], like):
+    def build(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: build(v, prefix + (k,)) for k, v in tree.items()}
+        return jnp.asarray(flat[prefix])
+
+    return build(like)
+
+
+def load_reference_checkpoint(path: str, target_params, verbose: bool = True):
+    """One-call converter: torch Lightning ckpt -> flax params with
+    shape-filtered partial load."""
+    sd = load_torch_state_dict(path)
+    params, report = convert_torch_state(sd, target_params)
+    if verbose:
+        print(
+            f"[ckpt] loaded {len(report['loaded'])} tensors, "
+            f"shape-skipped {len(report['shape_skipped'])}, "
+            f"unmatched {len(report['unmatched'])}"
+        )
+    return params, report

@@ -1,0 +1,121 @@
+"""Checkpoint tests: torch-Lightning -> flax conversion (full coverage
+round-trip through synthesized torch tensors) and the shape-filtered
+partial-load semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from mp_hsir_tpu.config import ModelConfig
+from mp_hsir_tpu.models.mp_hsir import init_params
+from mp_hsir_tpu.training.checkpoint import (
+    _flatten,
+    convert_torch_state,
+)
+
+TINY = ModelConfig(
+    in_channels=5, out_channels=5, dim=16, num_blocks=(1, 1, 1),
+    num_refinement_blocks=1, heads=(2, 2, 2), task_classes=6,
+)
+
+# leaves whose torch layout differs from ours and names that carry .body
+_NORM_WRAPPED = ("norm1", "norm2", "norm11", "norm12")
+
+
+def _to_torch_layout(path, value, rng):
+    """Produce a torch-layout tensor + dotted torch key for one of our
+    params, with fresh random values (so the test detects missed
+    transposes, not just shape luck)."""
+    leaf = path[-1]
+    parent = path[-2] if len(path) >= 2 else ""
+    key = ".".join(path)
+    # blocks_0 -> blocks.0
+    import re
+
+    key = re.sub(r"blocks_(\d+)\.", r"blocks.\1.", key)
+    key = re.sub(r"\b(down1_2|down2_3|up3_2|up2_1)\.conv\.", r"\1.body.0.", key)
+
+    v = rng.standard_normal(value.shape).astype(np.float32)
+    if leaf == "visual_prompt":
+        tv = np.transpose(v, (2, 0, 1))[None]  # (ps,ps,D) -> (1,D,ps,ps)
+        return key, tv, v
+    if leaf == "text_prompt_learnable":
+        tv = v[None, :, :, None, None]  # (T,D) -> (1,T,D,1,1)
+        return key, tv, v
+    if leaf == "weight" and v.ndim == 2:
+        return key, v.T.copy(), v
+    if leaf == "weight" and v.ndim == 4:
+        return key, np.transpose(v, (3, 2, 0, 1)).copy(), v  # HWIO -> OIHW
+    if leaf in ("weight", "bias") and parent in _NORM_WRAPPED and v.ndim == 1:
+        # Restormer norms live under .body in torch; converter strips it
+        key = key.replace(f"{parent}.{leaf}", f"{parent}.body.{leaf}")
+        return key, v, v
+    return key, v, v
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_params(TINY, jax.random.key(0), sample_hw=32)
+
+
+def test_full_roundtrip_conversion(tiny_params):
+    """Every parameter in the model must be reachable from a synthesized
+    torch state dict and land with the correct layout."""
+    rng = np.random.default_rng(0)
+    flat = _flatten(tiny_params)
+    torch_sd, expected = {}, {}
+    for path, value in flat.items():
+        key, tv, v = _to_torch_layout(path, np.asarray(value), rng)
+        torch_sd["net." + key] = tv  # Lightning prefix (stripped upstream)
+        expected[path] = v
+
+    # strip the lightning prefix like load_torch_state_dict does
+    torch_sd = {k[len("net."):]: v for k, v in torch_sd.items()}
+    new_params, report = convert_torch_state(torch_sd, tiny_params)
+    assert not report["unmatched"], f"unmatched: {report['unmatched'][:5]}"
+    assert not report["shape_skipped"], f"shape-skipped: {report['shape_skipped'][:5]}"
+    assert len(report["loaded"]) == len(flat)
+    new_flat = _flatten(new_params)
+    for path, want in expected.items():
+        np.testing.assert_allclose(np.asarray(new_flat[path]), want, atol=1e-6,
+                                   err_msg=str(path))
+
+
+def test_shape_filtered_partial_load(tiny_params):
+    """Mismatched shapes are skipped, matching tensors still load — the
+    reference's strict=False warm start (train.py:109-116)."""
+    flat = _flatten(tiny_params)
+    path_conv = ("patch_embed", "proj", "weight")
+    good = np.random.default_rng(1).standard_normal(
+        np.transpose(flat[path_conv], (3, 2, 0, 1)).shape
+    ).astype(np.float32)
+    sd = {
+        "patch_embed.proj.weight": good,
+        "output.weight": np.zeros((7, 7, 3, 3), np.float32),  # wrong shape
+        "nonexistent.module.weight": np.zeros((4, 4), np.float32),
+    }
+    new_params, report = convert_torch_state(sd, tiny_params)
+    assert report["loaded"] == ["patch_embed.proj.weight"]
+    assert report["shape_skipped"] == ["output.weight"]
+    assert report["unmatched"] == ["nonexistent.module.weight"]
+    got = _flatten(new_params)[path_conv]
+    np.testing.assert_allclose(np.asarray(got), np.transpose(good, (2, 3, 1, 0)), atol=1e-6)
+    # untouched param stays identical
+    np.testing.assert_array_equal(
+        np.asarray(_flatten(new_params)[("output", "weight")]),
+        np.asarray(flat[("output", "weight")]),
+    )
+
+
+def test_orbax_save_restore_roundtrip(tiny_params, tmp_path):
+    from mp_hsir_tpu.training.checkpoint import restore_params, save_params
+
+    p = str(tmp_path / "params_ckpt")
+    save_params(p, tiny_params)
+    restored = restore_params(p, tiny_params)
+    a = _flatten(tiny_params)
+    b = _flatten(restored)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -1,0 +1,94 @@
+"""Training-runtime tests: schedule shape, loss semantics, patch store
+round-trip, and pipeline determinism."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mp_hsir_tpu.training.schedules import linear_warmup_cosine_annealing
+
+
+def test_warmup_cosine_shape():
+    s = linear_warmup_cosine_annealing(
+        base_lr=2e-4, warmup_epochs=10, max_epochs=100, steps_per_epoch=1, eta_min=1e-6
+    )
+    lrs = np.array([float(s(e)) for e in range(100)])
+    assert lrs[0] == 0.0  # warmup_start_lr default 0
+    np.testing.assert_allclose(lrs[10], 2e-4, rtol=1e-6)  # end of warmup
+    assert (np.diff(lrs[:10]) > 0).all()  # linear ramp
+    assert (np.diff(lrs[10:]) < 0).all()  # cosine decay
+    # reference closed form at the midpoint of the cosine leg
+    e = 55
+    want = 1e-6 + 0.5 * (2e-4 - 1e-6) * (1 + np.cos(np.pi * (e - 10) / 90))
+    np.testing.assert_allclose(lrs[e], want, rtol=1e-6)
+    np.testing.assert_allclose(lrs[-1], 1e-6 + 0.5 * (2e-4 - 1e-6) * (1 + np.cos(np.pi * 89 / 90)), rtol=1e-5)
+
+
+def test_warmup_cosine_matches_torch_cosine_after_warmup():
+    torch = pytest.importorskip("torch")
+    base, mx, wu = 1e-3, 50, 0
+    s = linear_warmup_cosine_annealing(base, wu, mx, steps_per_epoch=1, eta_min=0.0)
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=mx, eta_min=0.0)
+    for e in range(20):
+        np.testing.assert_allclose(float(s(e)), opt.param_groups[0]["lr"], rtol=1e-5)
+        sched.step()
+
+
+def test_l1_clamped():
+    from mp_hsir_tpu.training.losses import l1_clamped
+
+    pred = jnp.asarray([[-0.5, 0.5, 1.5]])
+    target = jnp.asarray([[0.0, 0.0, 1.0]])
+    # clamp -> [0, .5, 1]; |diff| -> [0, .5, 0] -> mean 1/6
+    np.testing.assert_allclose(float(l1_clamped(pred, target)), 1 / 6, atol=1e-7)
+
+
+def test_patch_store_roundtrip(tmp_path):
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+
+    rng = np.random.default_rng(0)
+    patches = [rng.random((4, 8, 8)).astype(np.float32) for _ in range(5)]
+    names = ["WDC_a", "Chikusei_b", "ICVL_c", "WDC_d", "Houston_e"]
+    with PatchStoreWriter(str(tmp_path / "store")) as w:
+        for p, n in zip(patches, names):
+            w.add(p, n)
+
+    store = PatchStore(str(tmp_path / "store"))  # default filter excludes ICVL
+    assert len(store) == 4
+    got, src = store[0]
+    np.testing.assert_array_equal(got, patches[0])
+    assert src == "WDC_a"
+
+    store_all = PatchStore(str(tmp_path / "store"), dataset_names=None)
+    assert len(store_all) == 5
+    batch = store_all.gather(np.array([1, 2, 4]))
+    np.testing.assert_array_equal(batch[1], patches[2])
+
+
+def test_train_pipeline_deterministic(tmp_path):
+    from mp_hsir_tpu.config import TrainConfig
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+
+    rng = np.random.default_rng(1)
+    with PatchStoreWriter(str(tmp_path / "s")) as w:
+        for i in range(8):
+            w.add(rng.random((10, 32, 32)).astype(np.float32), f"WDC_{i}")
+    tc = TrainConfig(
+        seed=7, batch_size=4, data_type="natural_scene",
+        de_types=("gaussianN", "inpaint"), steps_per_epoch=2,
+    )
+    store = PatchStore(str(tmp_path / "s"))
+    p1 = TrainPipeline(store, tc, target_bands=None)
+    p2 = TrainPipeline(store, tc, target_bands=None)
+    b1 = [dict(b) for b in p1.epoch(0, steps=2)]
+    b2 = [dict(b) for b in p2.epoch(0, steps=2)]
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(np.asarray(a["degraded"]), np.asarray(b["degraded"]))
+        np.testing.assert_array_equal(np.asarray(a["task_id"]), np.asarray(b["task_id"]))
+    # degraded differs from clean
+    assert float(jnp.abs(b1[0]["degraded"] - b1[0]["clean"]).max()) > 1e-4

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Restoration training CLI (reference interface: train.py + options.py).
+
+TPU-native runtime: pjit/shard_map over a (data, spatial) mesh, bf16
+compute, on-device degradation synthesis, Orbax checkpoints with
+shape-filtered warm start (including from reference Lightning .ckpt files).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="MP-HSIR-TPU training")
+    p.add_argument("--seed", type=int, default=2024)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--patch_size", type=int, default=64)
+    p.add_argument("--data_type", type=str, default="remote_sensing",
+                   choices=["natural_scene", "remote_sensing"])
+    p.add_argument("--de_type", nargs="+", default=None,
+                   help="degradation types; defaults per data_type")
+    p.add_argument("--db_path", type=str, required=True, help="HSPS patch store dir")
+    p.add_argument("--ckpt_dir", type=str, default="ckpt")
+    p.add_argument("--ckpt_path", type=str, default=None,
+                   help="warm start (Orbax dir or reference Lightning .ckpt)")
+    p.add_argument("--ckpt_every_epochs", type=int, default=50)
+    p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel mesh size; default = all devices")
+    p.add_argument("--mesh_spatial", type=int, default=1)
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--dim", type=int, default=None, help="model width override")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mp_hsir_tpu.config import TrainConfig, natural_scene_config, remote_sensing_config
+    from mp_hsir_tpu.data.patch_store import PatchStore
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+    from mp_hsir_tpu.data.degradations_np import default_cirrus
+    from mp_hsir_tpu.parallel.mesh import make_mesh
+    from mp_hsir_tpu.training import checkpoint as CKPT
+    from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
+    from mp_hsir_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    n_dev = len(jax.devices())
+    mesh_data = args.mesh_data or max(n_dev // args.mesh_spatial, 1)
+    mesh = make_mesh(data=mesh_data, spatial=args.mesh_spatial)
+
+    if args.data_type == "natural_scene":
+        mc = natural_scene_config(compute_dtype=args.compute_dtype)
+        target_bands = 31
+    else:
+        mc = remote_sensing_config(compute_dtype=args.compute_dtype)
+        target_bands = 100
+    if args.dim:
+        import dataclasses
+
+        mc = dataclasses.replace(mc, dim=args.dim)
+
+    store = PatchStore(args.db_path)
+    steps_per_epoch = args.steps_per_epoch or max(len(store) // args.batch_size, 1)
+    tc = TrainConfig(
+        seed=args.seed, epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+        batch_size=args.batch_size, lr=args.lr, patch_size=args.patch_size,
+        data_type=args.data_type, de_types=tuple(args.de_type or ()),
+        db_path=args.db_path, ckpt_dir=args.ckpt_dir,
+        ckpt_every_epochs=args.ckpt_every_epochs, grad_accum=args.grad_accum,
+        mesh_data=mesh_data, mesh_spatial=args.mesh_spatial, log_every=args.log_every,
+    )
+
+    cirrus = np.stack([default_cirrus(seed=s) for s in range(4)]) if "haze" in tc.de_types_resolved() else None
+    pipeline = TrainPipeline(store, tc, cirrus_bank=cirrus, target_bands=target_bands)
+
+    state = create_train_state(mc, tc, jax.random.key(args.seed))
+    if args.ckpt_path:
+        if args.ckpt_path.endswith((".ckpt", ".pt", ".pth")):
+            params, report = CKPT.load_reference_checkpoint(args.ckpt_path, state.params)
+            state = state.replace(params=params)
+        else:
+            state = CKPT.restore_checkpoint(args.ckpt_path, state)
+
+    step_fn = make_train_step(mc, mesh)
+    log_path = os.path.join(args.ckpt_dir, "train_log.jsonl")
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+
+    print(f"devices={n_dev} mesh=({mesh_data}x{args.mesh_spatial}) "
+          f"store={len(store)} patches, {steps_per_epoch} steps/epoch, "
+          f"de_types={tc.de_types_resolved()}")
+
+    t0 = time.time()
+    base_rng = jax.random.key(args.seed + 1)
+    with open(log_path, "a") as logf:
+        for epoch in range(args.epochs):
+            losses = []
+            for batch in pipeline.epoch(epoch, steps=steps_per_epoch):
+                rng = jax.random.fold_in(base_rng, int(state.step))
+                state, loss = step_fn(state, batch, rng)
+                losses.append(loss)
+                gstep = int(state.step)
+                if gstep % args.log_every == 0:
+                    lv = float(loss)
+                    rec = {"step": gstep, "epoch": epoch, "train_loss": lv,
+                           "wall_s": round(time.time() - t0, 1)}
+                    logf.write(json.dumps(rec) + "\n")
+                    logf.flush()
+                    print(f"epoch {epoch} step {gstep}: loss {lv:.4f}")
+            if (epoch + 1) % args.ckpt_every_epochs == 0 or epoch + 1 == args.epochs:
+                path = CKPT.save_checkpoint(args.ckpt_dir, state, int(state.step))
+                print(f"saved checkpoint {path}")
+    print(f"done in {time.time() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
