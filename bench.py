@@ -49,13 +49,31 @@ def main() -> None:
     # warmup / compile
     fwd(params, x, tid).block_until_ready()
 
+    # distinct inputs per iteration; completion is forced by a tiny host
+    # readback of the output (on the tunneled `axon` platform
+    # block_until_ready can return before remote execution finishes, which
+    # silently turns the loop into async enqueue timing). The 16-float
+    # transfer adds ~ms of RPC latency — an honest, slightly conservative
+    # number. Report the median iteration.
+    import numpy as np
+
     n_iter = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(params, x, tid)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    cubes_per_sec = n_iter / dt
+    xs = [
+        jax.random.uniform(jax.random.key(i + 2), (1, cfg.in_channels, h, w), jnp.float32)
+        for i in range(n_iter)
+    ]
+    for xi in xs:
+        np.asarray(xi[0, 0, :2, :2])  # materialize inputs remotely
+    probe = jax.jit(lambda y: y[0, 0, :4, :4])
+    np.asarray(probe(fwd(params, xs[0], tid)))  # warm the probe path
+    times = []
+    for xi in xs:
+        t0 = time.perf_counter()
+        np.asarray(probe(fwd(params, xi, tid)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    cubes_per_sec = 1.0 / median
 
     print(
         json.dumps(

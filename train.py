@@ -100,6 +100,9 @@ def main(argv=None):
     step_fn = make_train_step(mc, mesh)
     log_path = os.path.join(args.ckpt_dir, "train_log.jsonl")
     os.makedirs(args.ckpt_dir, exist_ok=True)
+    from mp_hsir_tpu.utils.tboard import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(args.ckpt_dir, "tb"))
 
     print(f"devices={n_dev} mesh=({mesh_data}x{args.mesh_spatial}) "
           f"store={len(store)} patches, {steps_per_epoch} steps/epoch, "
@@ -121,6 +124,7 @@ def main(argv=None):
                            "wall_s": round(time.time() - t0, 1)}
                     logf.write(json.dumps(rec) + "\n")
                     logf.flush()
+                    tb.add_scalar("train_loss", lv, gstep)
                     print(f"epoch {epoch} step {gstep}: loss {lv:.4f}")
             if (epoch + 1) % args.ckpt_every_epochs == 0 or epoch + 1 == args.epochs:
                 path = CKPT.save_checkpoint(args.ckpt_dir, state, int(state.step))
