@@ -43,6 +43,7 @@ TABLES = {
         "inpaint": dict(ratios=(0.7, 0.8, 0.9)),
         "bandmiss": dict(rates=(0.1, 0.2, 0.3)),
         "motion_blur": dict(kernels=((15, 45),)),
+        "cassi": dict(),
         # standalone variants used by the classifier pipeline
         # (utils/dataset_utils.py:160; applied to the clean patch — the
         # reference's standalone branches discard their gaussian stage,
@@ -179,6 +180,13 @@ def make_degrader(
             def fn(key, x, _cfg=cfgt):
                 k1, k2 = jax.random.split(key)
                 return D.impulse_noise(k2, x, _choice(k1, _cfg["amounts"]))
+        elif t == "cassi":
+            # coded-aperture snapshot compressive simulation; random binary
+            # mask per sample stands in for the reference's .mat mask bank
+            # (degradation_utils.py:202-225 reads masks from disk)
+            def fn(key, x):
+                m = (jax.random.uniform(key, x.shape[1:]) > 0.5).astype(x.dtype)
+                return D.sd_cassi(x, m)
         else:
             raise ValueError(f"unknown degradation type {t}")
         branches.append(fn)
