@@ -76,7 +76,33 @@ def load_model_and_params(ckpt_path: str, model_cfg: ModelConfig):
     return params, fwd
 
 
-def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None) -> dict:
+def make_classifier_router(classifier_ckpt: str, data_type: str):
+    """Returns task_id_fn(degraded (1,C,H,W)) -> int using the FFC
+    classifier (degradation-classifier routing, BASELINE config 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_hsir_tpu.models.classifier import FFCResNet
+    from mp_hsir_tpu.training.checkpoint import restore_params
+
+    bands = 31 if data_type == "natural_scene" else 100
+    num_classes = 5 if data_type == "natural_scene" else 6
+    model = FFCResNet(in_channel=bands, num_classes=num_classes)
+    sample = jnp.zeros((1, bands, 64, 64), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, sample, train=False))(jax.random.key(0))
+    if classifier_ckpt:
+        variables = restore_params(classifier_ckpt, dict(variables))
+    infer = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    def route(degraded) -> int:
+        logits = infer(variables, jnp.asarray(degraded))
+        return int(jnp.argmax(logits, axis=-1)[0])
+
+    return route
+
+
+def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
+             task_router=None) -> dict:
     import jax.numpy as jnp
 
     mode = cfg.mode
@@ -99,8 +125,9 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None) -> 
     for item in dataset:
         degraded = item["degraded"][None]
         clean = item["clean"][None]
+        tid = task_router(degraded) if task_router is not None else task_id
         t0 = time.perf_counter()
-        restored = fwd(params, jnp.asarray(degraded), jnp.asarray([task_id]))
+        restored = fwd(params, jnp.asarray(degraded), jnp.asarray([tid]))
         restored.block_until_ready()
         wall += time.perf_counter() - t0
 
@@ -147,6 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_type", type=str, default="natural_scene",
                    choices=["natural_scene", "remote_sensing"])
     p.add_argument("--no_save_images", action="store_true")
+    p.add_argument("--auto_task", action="store_true",
+                   help="route task ids through the degradation classifier instead of the mode's fixed prompt")
+    p.add_argument("--classifier_ckpt", type=str, default="",
+                   help="Orbax params dir for the FFC classifier (with --auto_task)")
     return p
 
 
@@ -185,7 +216,8 @@ def main(argv=None) -> None:
         12: "Start real noise degradation testing",
     }
     print(mode_msgs.get(cfg.mode, f"mode {cfg.mode}"))
-    run_mode(cfg, model_cfg)
+    router = make_classifier_router(args.classifier_ckpt, args.data_type) if args.auto_task else None
+    run_mode(cfg, model_cfg, task_router=router)
 
 
 if __name__ == "__main__":

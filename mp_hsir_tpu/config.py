@@ -43,6 +43,8 @@ class ModelConfig:
     # numerics
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # training/eval math; "bfloat16" for speed
+    # fused Pallas window-attention kernel (TPU only; jnp fallback on CPU)
+    use_pallas_attention: bool = False
     # name of the mesh axis the spatial (H) dimension is sharded over, or
     # None when running unsharded. Ops that cross shard boundaries (3x3 conv
     # halos, shifted-window rolls, spectral-attention pixel reductions)

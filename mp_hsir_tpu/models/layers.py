@@ -83,6 +83,28 @@ class Conv2d(nn.Module):
         return conv2d(x, w, b, stride=self.stride, padding=self.padding, groups=self.groups, axis_name=self.axis_name)
 
 
+class ConvParams(nn.Module):
+    """Declares conv-shaped parameters (same names/shapes/init as Conv2d)
+    without applying the convolution — for algebraic fusions that consume
+    the weight directly while keeping checkpoint paths identical."""
+
+    features: int
+    kernel: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    in_features: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, cin: Optional[int] = None):
+        cin = cin or self.in_features or self.features
+        fan_in = (cin // self.groups) * self.kernel * self.kernel
+        w = self.param(
+            "weight", _torch_uniform(fan_in), (self.kernel, self.kernel, cin // self.groups, self.features)
+        )
+        b = self.param("bias", _torch_uniform(fan_in), (self.features,)) if self.use_bias else None
+        return w, b
+
+
 class Linear(nn.Module):
     features: int
     use_bias: bool = True
@@ -95,6 +117,21 @@ class Linear(nn.Module):
         if self.use_bias:
             y = y + self.param("bias", _torch_uniform(cin), (self.features,)).astype(y.dtype)
         return y
+
+
+class LinearParams(nn.Module):
+    """Declares Linear-shaped parameters (same names/shapes/init) without
+    applying them — for fused kernels that consume weights directly."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", _torch_uniform(self.in_features), (self.in_features, self.features))
+        b = self.param("bias", _torch_uniform(self.in_features), (self.features,)) if self.use_bias else None
+        return w, b
 
 
 class LayerNorm(nn.Module):
@@ -203,22 +240,46 @@ class SpectralAttention(nn.Module):
                      axis_name=self.axis_name, name="qkv_dwconv")(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         dh = c // self.num_heads
+        p = h * w
 
-        def heads(t):  # (B,H,W,C) -> (B, nH, dh, HW)
-            return t.reshape(b, h * w, self.num_heads, dh).transpose(0, 2, 3, 1)
+        # Layout-free formulation: channels stay in the lane dimension and
+        # the pixel axis is contracted directly — no (B, heads, c, HW)
+        # transposed copies (those cost ~3 HBM round-trips of the 3C-wide
+        # activation per block). L2 normalization is folded into the tiny
+        # C x C Gram matrix: qhat@khat^T = (q@k^T) / outer(|q|, |k|).
+        def r(t):  # (B,H,W,C) -> (B, P, heads, dh), a free reshape
+            return t.reshape(b, p, self.num_heads, dh)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        q = _l2norm(q, axis=-1, axis_name=self.axis_name)
-        k = _l2norm(k, axis=-1, axis_name=self.axis_name)
-        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
-        attn = jnp.einsum("bncp,bndp->bncd", q, k, preferred_element_type=jnp.float32)
+        q, k, v = r(q), r(k), r(v)
+        gram = jnp.einsum("bphd,bphe->bhde", q, k, preferred_element_type=jnp.float32)
+        nq = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1)  # (B, heads, dh)
+        nk = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1)
         if self.axis_name is not None:
-            attn = jax.lax.psum(attn, self.axis_name)
-        attn = attn * temp
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bncd,bndp->bncp", attn, v)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
-        return Conv2d(c, 1, use_bias=self.use_bias, name="project_out")(out)
+            gram = jax.lax.psum(gram, self.axis_name)
+            nq = jax.lax.psum(nq, self.axis_name)
+            nk = jax.lax.psum(nk, self.axis_name)
+        nq = jnp.maximum(jnp.sqrt(nq), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(nk), 1e-12)
+        attn = gram / (nq[..., :, None] * nk[..., None, :])
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        attn = jax.nn.softmax(attn * temp, axis=-1)
+
+        # Fold attn@v and the 1x1 output projection into ONE pixel matmul:
+        # y[p, o] = sum_{h,e} (sum_d Wp[(h,d), o] attn[b,h,d,e]) v[b,p,h,e].
+        # attn is constant over pixels, so the combined (B, C, C_out) matrix
+        # costs O(C^3) once per image and the C-wide attn@v intermediate is
+        # never materialized in HBM. Param layout/naming is identical to the
+        # plain 1x1 conv so checkpoints map unchanged.
+        weight, bias = ConvParams(c, 1, use_bias=self.use_bias, name="project_out")()
+        wr = weight.reshape(self.num_heads, dh, c)  # Cin=(h, d) -> Cout
+        comb = jnp.einsum(
+            "bhde,hdo->bheo", attn, wr.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        out = jnp.einsum("bphe,bheo->bpo", v, comb.astype(v.dtype))
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out.reshape(b, h, w, c)
 
 
 class PGSpectralAttention(nn.Module):
@@ -272,17 +333,37 @@ class SpatialAttention(nn.Module):
     dim: int
     window_size: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         bw, n, c = x.shape
         ws = self.window_size
+
+        if self.use_pallas:
+            from mp_hsir_tpu.ops.pallas_attention import fused_window_attention
+
+            wqkv, bqkv = LinearParams(c * 3, c, name="qkv")()
+            table = self.param(
+                "relative_position_bias_table", trunc_normal_init(0.02), ((2 * ws - 1) ** 2, self.num_heads)
+            )
+            idx = _relative_position_index(ws)
+            bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+            wp, bp = LinearParams(c, c, name="proj")()
+            return fused_window_attention(
+                x, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+                bias.astype(jnp.float32), wp.astype(x.dtype),
+                bp.astype(jnp.float32), mask, self.num_heads,
+            )
+
         dh = c // self.num_heads
         qkv = Linear(c * 3, use_bias=True, name="qkv")(x)
-        qkv = qkv.reshape(bw, n, 3, self.num_heads, dh).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (Bw, nH, N, dh)
-        q = q * (dh ** -0.5)
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        # free reshape; heads stay packed in the lane dim, no 5-D permute copy
+        qkv = qkv.reshape(bw, n, 3, self.num_heads, dh)
+        q = qkv[:, :, 0] * (dh ** -0.5)  # (Bw, N, nH, dh)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
 
         table = self.param(
             "relative_position_bias_table", trunc_normal_init(0.02), ((2 * ws - 1) ** 2, self.num_heads)
@@ -296,8 +377,7 @@ class SpatialAttention(nn.Module):
             attn = attn.reshape(bw // nw, nw, self.num_heads, n, n) + mask[None, :, None].astype(attn.dtype)
             attn = attn.reshape(bw, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bw, n, c)
         return Linear(c, use_bias=True, name="proj")(out)
 
 
@@ -343,18 +423,19 @@ class CrossAttention(nn.Module):
         kv = Conv2d(c * 2, 3, padding=1, groups=c * 2, use_bias=self.use_bias, axis_name=self.axis_name, name="kv_dwconv")(kv)
         k, v = jnp.split(kv, 2, axis=-1)
         dh = c // self.num_heads
+        p = h * w
 
-        def heads(t):
-            return t.reshape(b, h * w, self.num_heads, dh).transpose(0, 2, 3, 1)
+        def r(t):  # free reshape; see SpectralAttention for the layout notes
+            return t.reshape(b, p, self.num_heads, dh)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        q = _l2norm(q, axis=-1)
-        k = _l2norm(k, axis=-1)
+        q, k, v = r(q), r(k), r(v)
+        gram = jnp.einsum("bphd,bphe->bhde", q, k, preferred_element_type=jnp.float32)
+        nq = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1)), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1)), 1e-12)
+        attn = gram / (nq[..., :, None] * nk[..., None, :])
         temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
-        attn = jnp.einsum("bncp,bndp->bncd", q, k, preferred_element_type=jnp.float32) * temp
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bncd,bndp->bncp", attn, v)
-        out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
+        attn = jax.nn.softmax(attn * temp, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhde,bphe->bphd", attn, v).reshape(b, h, w, c)
         return Conv2d(c, 1, use_bias=self.use_bias, name="project_out")(out)
 
 
@@ -551,6 +632,7 @@ class PGSSTB(nn.Module):
     drop_path: float = 0.0
     use_bias: bool = False
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -582,7 +664,7 @@ class PGSSTB(nn.Module):
                 mask = jax.lax.dynamic_slice_in_dim(mask, start, nw_local, axis=0)
         else:
             mask = None
-        sa = SpatialAttention(self.dim, ws, self.num_heads, name="attn")(windows, mask)
+        sa = SpatialAttention(self.dim, ws, self.num_heads, self.use_pallas, name="attn")(windows, mask)
 
         # branch (a): prompt-guided local spectral gate on window tokens
         x1 = PGSpectralAttention(self.dim, self.compress_ratio, self.prompt_len, self.use_bias, name="local_spectral_attn")(sa)
@@ -620,6 +702,7 @@ class BaseBlock(nn.Module):
     drop_path: Tuple[float, ...] = ()
     use_bias: bool = False
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -637,6 +720,7 @@ class BaseBlock(nn.Module):
                 drop_path=self.drop_path[i] if self.drop_path else 0.0,
                 use_bias=self.use_bias,
                 axis_name=self.axis_name,
+                use_pallas=self.use_pallas,
                 name=f"blocks_{i}",
             )(x, deterministic)
         return x + shortcut

@@ -58,7 +58,8 @@ class MPHSIRNet(nn.Module):
                 dim=d, depth=depth, num_heads=heads, window_size=ws,
                 mlp_ratio=cfg.ffn_expansion_factor, compress_ratio=cr,
                 prompt_len=cfg.prompt_len, input_resolution=res, drop_path=dp,
-                use_bias=cfg.bias, axis_name=ax, name=name,
+                use_bias=cfg.bias, axis_name=ax,
+                use_pallas=cfg.use_pallas_attention, name=name,
             )
 
         # ---- encoder ----

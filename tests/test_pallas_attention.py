@@ -1,0 +1,74 @@
+"""Pallas fused window attention == jnp SpatialAttention (interpret mode on
+CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mp_hsir_tpu.models.layers import SpatialAttention, _relative_position_index
+from mp_hsir_tpu.ops.pallas_attention import fused_window_attention
+from mp_hsir_tpu.ops.window import shifted_window_mask
+
+RNG = np.random.default_rng(33)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_fused_matches_module(masked):
+    dim, heads, ws = 16, 2, 8
+    n = ws * ws
+    h = w = 16  # 4 windows
+    nw = (h // ws) * (w // ws)
+    x = RNG.standard_normal((nw, n, dim)).astype(np.float32)
+
+    mod = SpatialAttention(dim, ws, heads)
+    params = mod.init(jax.random.key(0), jnp.asarray(x))["params"]
+    mask = jnp.asarray(shifted_window_mask(h, w, ws, ws // 2)) if masked else None
+    want = np.asarray(mod.apply({"params": params}, jnp.asarray(x), mask))
+
+    table = np.asarray(params["relative_position_bias_table"])
+    idx = _relative_position_index(ws)
+    bias = table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1)
+    got = np.asarray(
+        fused_window_attention(
+            jnp.asarray(x),
+            jnp.asarray(params["qkv"]["weight"]),
+            jnp.asarray(params["qkv"]["bias"]),
+            jnp.asarray(bias),
+            jnp.asarray(params["proj"]["weight"]),
+            jnp.asarray(params["proj"]["bias"]),
+            mask,
+            heads,
+            block_windows=2,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_module_pallas_flag_matches_plain():
+    """SpatialAttention(use_pallas=True) in interpret mode == plain module,
+    same params."""
+    dim, heads, ws = 8, 2, 8
+    n = ws * ws
+    x = RNG.standard_normal((4, n, dim)).astype(np.float32)
+    plain = SpatialAttention(dim, ws, heads)
+    params = plain.init(jax.random.key(1), jnp.asarray(x))["params"]
+    want = np.asarray(plain.apply({"params": params}, jnp.asarray(x)))
+
+    import mp_hsir_tpu.ops.pallas_attention as PA
+
+    orig = PA.fused_window_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    PA.fused_window_attention = interp
+    try:
+        fused = SpatialAttention(dim, ws, heads, use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, jnp.asarray(x)))
+    finally:
+        PA.fused_window_attention = orig
+    np.testing.assert_allclose(got, want, atol=2e-5)
