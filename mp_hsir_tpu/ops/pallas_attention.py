@@ -27,32 +27,54 @@ Array = jax.Array
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num_heads, n_tok, has_mask, mask_ref=None):
-    # x_ref: (WB, N, C); weights: (C, 3C), (3C,), bias (nH, N, N), (C, C), (C,)
+    """Block-diagonal formulation, Mosaic-safe:
+
+    All WB windows of the block are flattened to T = WB*N tokens and each
+    head attends over the full T x T matrix with cross-window positions
+    knocked out by an iota-derived -inf mask. That wastes WB x FLOPs on the
+    (cheap) attention matmuls but keeps every op 2-D — no lane-splitting
+    reshapes, no batched dots, full MXU tiles. Per-head q/k/v are static
+    lane slices of the single fused QKV matmul.
+
+    bias_ref: (nH*N, N) — per-head rel-pos bias stacked on the sublane axis.
+    mask_ref: (WB*N, N) — per-window shift mask stacked on sublanes.
+    """
     wb, n, c = x_ref.shape
     dh = c // num_heads
-    x = x_ref[:].reshape(wb * n, c)
+    t = wb * n
+    x = x_ref[:].reshape(t, c)
     qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
-    qkv = qkv.reshape(wb, n, 3, num_heads, dh)
+
+    # cross-window blanking: token i may attend token j iff i//N == j//N
+    row_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n
+    col_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n
+    off_diag = row_win != col_win
+
+    # relative-position bias tiled over the window diagonal: value at
+    # (i, j) inside a window is bias[h, i%N, j%N]; replicate the (N, N)
+    # tile WB x WB times (pltpu.repeat = no lane-split reshape)
+    col_in_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) % n
 
     scale = dh ** -0.5
     outs = []
     for h in range(num_heads):
-        q = qkv[:, :, 0, h, :] * scale  # (WB, N, dh)
-        k = qkv[:, :, 1, h, :]
-        v = qkv[:, :, 2, h, :]
+        q = qkv[:, h * dh : (h + 1) * dh] * scale
+        k = qkv[:, c + h * dh : c + (h + 1) * dh]
+        v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
         attn = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-        )  # (WB, N, N)
-        attn = attn + bias_ref[h][None]
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (T, T)
+        bias_h = bias_ref[h * n : (h + 1) * n, :]  # (N, N)
+        bias_tiled = pltpu.repeat(pltpu.repeat(bias_h, wb, axis=0), wb, axis=1)
+        attn = attn + bias_tiled
         if has_mask:
-            attn = attn + mask_ref[:]
+            mask_tiled = pltpu.repeat(mask_ref[:], wb, axis=1)  # (T, T)
+            attn = attn + mask_tiled
+        attn = jnp.where(off_diag, -jnp.inf, attn)
         attn = jax.nn.softmax(attn, axis=-1)
-        o = jax.lax.dot_general(
-            attn.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (WB, N, dh)
+        o = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
         outs.append(o)
-    o = jnp.stack(outs, axis=2).reshape(wb * n, c)  # (.., nH, dh) packed as C
+    o = jnp.concatenate(outs, axis=1)  # (T, C), heads packed on lanes
     y = jnp.dot(o.astype(x_ref.dtype), wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
     out_ref[:] = y.reshape(wb, n, c).astype(out_ref.dtype)
 
@@ -83,25 +105,24 @@ def fused_window_attention(
     wb = min(block_windows, nw)
     assert nw % wb == 0, f"window count {nw} not divisible by block {wb}"
     grid = (nw // wb,)
+    nh = num_heads
+    bias2d = rel_bias.reshape(nh * n, n)  # heads stacked on sublanes
 
     if mask is not None:
         nwp = mask.shape[0]
-        if nwp != nw:
-            reps = nw // nwp
-            mask_full = jnp.tile(mask, (reps, 1, 1))
-        else:
-            mask_full = mask
+        mask_full = jnp.tile(mask, (nw // nwp, 1, 1)) if nwp != nw else mask
+        mask2d = mask_full.reshape(nw * n, n).astype(jnp.float32)
         kern = functools.partial(_kernel_masked, num_heads=num_heads, n_tok=n)
         in_specs = [
             pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb * n, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        args = (windows, wqkv, bqkv, rel_bias, mask_full.astype(jnp.float32), wp, bp)
+        args = (windows, wqkv, bqkv, bias2d, mask2d, wp, bp)
     else:
         kern = functools.partial(_kernel_unmasked, num_heads=num_heads, n_tok=n)
         in_specs = [
@@ -112,7 +133,7 @@ def fused_window_attention(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        args = (windows, wqkv, bqkv, rel_bias, wp, bp)
+        args = (windows, wqkv, bqkv, bias2d, wp, bp)
 
     return pl.pallas_call(
         kern,
