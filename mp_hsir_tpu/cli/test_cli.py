@@ -178,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="route task ids through the degradation classifier instead of the mode's fixed prompt")
     p.add_argument("--classifier_ckpt", type=str, default="",
                    help="Orbax params dir for the FFC classifier (with --auto_task)")
+    p.add_argument("--dim", type=int, default=None, help="model width override (debug/sweeps)")
+    p.add_argument("--num_blocks", type=int, nargs=3, default=None, help="per-level depth override")
+    p.add_argument("--use_pallas", action="store_true", help="fused Pallas window attention (TPU)")
     return p
 
 
@@ -200,6 +203,17 @@ def main(argv=None) -> None:
         ckpt_path=args.ckpt_path, save_images=not args.no_save_images,
     )
     model_cfg = natural_scene_config() if args.data_type == "natural_scene" else remote_sensing_config()
+    import dataclasses
+
+    overrides = {}
+    if args.dim:
+        overrides["dim"] = args.dim
+    if args.num_blocks:
+        overrides["num_blocks"] = tuple(args.num_blocks)
+    if args.use_pallas:
+        overrides["use_pallas_attention"] = True
+    if overrides:
+        model_cfg = dataclasses.replace(model_cfg, **overrides)
     mode_msgs = {
         0: f"Start gaussian denoise testing sigma={cfg.gaussian_noise_sigma}",
         1: f"Start inid gaussian denoise testing sigma={list(cfg.gaussian_noise_sigmas)}",
