@@ -34,7 +34,8 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    cfg = natural_scene_config(compute_dtype="bfloat16")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg = natural_scene_config(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
     params = init_params(cfg, jax.random.key(0), sample_hw=64)
     model = MPHSIRNet(cfg)
 

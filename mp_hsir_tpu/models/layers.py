@@ -27,6 +27,7 @@ from mp_hsir_tpu.ops.conv import conv2d
 from mp_hsir_tpu.ops.resize import resize_bilinear, resize_bilinear_row_block, resize_nearest
 from mp_hsir_tpu.ops.window import (
     roll_hw,
+    shifted_window_labels,
     shifted_window_mask,
     window_partition,
     window_reverse,
@@ -336,7 +337,8 @@ class SpatialAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 shift_labels: Optional[Array] = None) -> Array:
         bw, n, c = x.shape
         ws = self.window_size
 
@@ -353,7 +355,7 @@ class SpatialAttention(nn.Module):
             return fused_window_attention(
                 x, wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
                 bias.astype(jnp.float32), wp.astype(x.dtype),
-                bp.astype(jnp.float32), mask, self.num_heads,
+                bp.astype(jnp.float32), shift_labels, self.num_heads,
             )
 
         dh = c // self.num_heads
@@ -657,16 +659,27 @@ class PGSSTB(nn.Module):
             xn = roll_hw(xn, -shift, -shift, self.axis_name)
         windows = window_partition(xn, ws)  # (B*nW_local, ws*ws, C)
 
+        labels = None
         if shift > 0:
-            mask = jnp.asarray(shifted_window_mask(gh, w, ws, shift))
-            if n_sp > 1:
-                # this shard owns a contiguous block of global window rows
-                nw_local = (h // ws) * (w // ws)
-                start = jax.lax.axis_index(self.axis_name) * nw_local
-                mask = jax.lax.dynamic_slice_in_dim(mask, start, nw_local, axis=0)
+            if self.use_pallas:
+                mask = None
+                labels = jnp.asarray(shifted_window_labels(gh, w, ws, shift))
+                if n_sp > 1:
+                    nw_local = (h // ws) * (w // ws)
+                    start = jax.lax.axis_index(self.axis_name) * nw_local
+                    labels = jax.lax.dynamic_slice_in_dim(labels, start, nw_local, axis=0)
+            else:
+                mask = jnp.asarray(shifted_window_mask(gh, w, ws, shift))
+                if n_sp > 1:
+                    # this shard owns a contiguous block of global window rows
+                    nw_local = (h // ws) * (w // ws)
+                    start = jax.lax.axis_index(self.axis_name) * nw_local
+                    mask = jax.lax.dynamic_slice_in_dim(mask, start, nw_local, axis=0)
         else:
             mask = None
-        sa = SpatialAttention(self.dim, ws, self.num_heads, self.use_pallas, name="attn")(windows, mask)
+        sa = SpatialAttention(self.dim, ws, self.num_heads, self.use_pallas, name="attn")(
+            windows, mask, shift_labels=labels
+        )
 
         # branch (a): prompt-guided local spectral gate on window tokens
         x1 = PGSpectralAttention(self.dim, self.compress_ratio, self.prompt_len, self.use_bias, name="local_spectral_attn")(sa)

@@ -37,7 +37,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
     lane slices of the single fused QKV matmul.
 
     bias_ref: (nH*N, N) — per-head rel-pos bias stacked on the sublane axis.
-    mask_ref: (WB*N, N) — per-window shift mask stacked on sublanes.
+    mask_ref (shift masks): (WB*N, 1) int32 per-token REGION LABELS — two
+    tokens may attend iff labels match; this replaces the reference's
+    additive (nW, N, N) mask with a 64x smaller stream.
     """
     wb, n, c = x_ref.shape
     dh = c // num_heads
@@ -49,6 +51,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
     row_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n
     col_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n
     off_diag = row_win != col_win
+    if has_mask:
+        lab = mask_ref[:].reshape(t, 1)  # (T, 1) int32
+        off_diag = off_diag | (lab != lab.reshape(1, t))
 
     # relative-position bias tiled over the window diagonal: value at
     # (i, j) inside a window is bias[h, i%N, j%N]; replicate the (N, N)
@@ -67,9 +72,6 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
         bias_h = bias_ref[h * n : (h + 1) * n, :]  # (N, N)
         bias_tiled = pltpu.repeat(pltpu.repeat(bias_h, wb, axis=0), wb, axis=1)
         attn = attn + bias_tiled
-        if has_mask:
-            mask_tiled = pltpu.repeat(mask_ref[:], wb, axis=1)  # (T, T)
-            attn = attn + mask_tiled
         attn = jnp.where(off_diag, -jnp.inf, attn)
         attn = jax.nn.softmax(attn, axis=-1)
         o = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -79,9 +81,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
     out_ref[:] = y.reshape(wb, n, c).astype(out_ref.dtype)
 
 
-def _kernel_masked(x_ref, wqkv_ref, bqkv_ref, bias_ref, mask_ref, wp_ref, bp_ref, out_ref, *, num_heads, n_tok):
+def _kernel_masked(x_ref, wqkv_ref, bqkv_ref, bias_ref, labels_ref, wp_ref, bp_ref, out_ref, *, num_heads, n_tok):
     _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref,
-            num_heads=num_heads, n_tok=n_tok, has_mask=True, mask_ref=mask_ref)
+            num_heads=num_heads, n_tok=n_tok, has_mask=True, mask_ref=labels_ref)
 
 
 def _kernel_unmasked(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num_heads, n_tok):
@@ -96,9 +98,9 @@ def fused_window_attention(
     rel_bias: Array,       # (nH, N, N) relative-position bias (already gathered)
     wp: Array,             # (C, C)
     bp: Array,             # (C,)
-    mask: Optional[Array], # (nW_pattern, N, N) shift mask or None; tiled to NW
+    labels: Optional[Array],  # (nW_pattern, N) int32 shift-region labels or None
     num_heads: int,
-    block_windows: int = 32,
+    block_windows: int = 16,  # measured best on v5e (see CLAUDE.md)
     interpret: bool = False,
 ) -> Array:
     nw, n, c = windows.shape
@@ -108,21 +110,21 @@ def fused_window_attention(
     nh = num_heads
     bias2d = rel_bias.reshape(nh * n, n)  # heads stacked on sublanes
 
-    if mask is not None:
-        nwp = mask.shape[0]
-        mask_full = jnp.tile(mask, (nw // nwp, 1, 1)) if nwp != nw else mask
-        mask2d = mask_full.reshape(nw * n, n).astype(jnp.float32)
+    if labels is not None:
+        nwp = labels.shape[0]
+        lab_full = jnp.tile(labels, (nw // nwp, 1)) if nwp != nw else labels
+        lab2d = lab_full.reshape(nw * n, 1).astype(jnp.int32)
         kern = functools.partial(_kernel_masked, num_heads=num_heads, n_tok=n)
         in_specs = [
             pl.BlockSpec((wb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((wb * n, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb * n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
-        args = (windows, wqkv, bqkv, bias2d, mask2d, wp, bp)
+        args = (windows, wqkv, bqkv, bias2d, lab2d, wp, bp)
     else:
         kern = functools.partial(_kernel_unmasked, num_heads=num_heads, n_tok=n)
         in_specs = [
@@ -135,6 +137,7 @@ def fused_window_attention(
         ]
         args = (windows, wqkv, bqkv, bias2d, wp, bp)
 
+    # fp32 softmax/bias work on (WB*N)^2 tiles; keep VMEM bounded
     return pl.pallas_call(
         kern,
         grid=grid,

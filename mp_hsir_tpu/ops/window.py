@@ -54,6 +54,21 @@ def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def shifted_window_labels(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(nW, ws*ws) int32 region labels per window token: two tokens of a
+    window may attend each other iff their labels match — the compact
+    equivalent of the (nW, N, N) additive mask (64x smaller, used by the
+    fused Pallas attention)."""
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
+        for vs in (slice(0, w - ws), slice(w - ws, w - shift), slice(w - shift, w)):
+            img[hs, vs] = cnt
+            cnt += 1
+    return img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+
+
 def roll_hw(
     x: jax.Array,
     shift_h: int,

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from mp_hsir_tpu.models.layers import SpatialAttention, _relative_position_index
 from mp_hsir_tpu.ops.pallas_attention import fused_window_attention
-from mp_hsir_tpu.ops.window import shifted_window_mask
+from mp_hsir_tpu.ops.window import shifted_window_labels, shifted_window_mask
 
 RNG = np.random.default_rng(33)
 
@@ -25,6 +25,7 @@ def test_fused_matches_module(masked):
     mod = SpatialAttention(dim, ws, heads)
     params = mod.init(jax.random.key(0), jnp.asarray(x))["params"]
     mask = jnp.asarray(shifted_window_mask(h, w, ws, ws // 2)) if masked else None
+    labels = jnp.asarray(shifted_window_labels(h, w, ws, ws // 2)) if masked else None
     want = np.asarray(mod.apply({"params": params}, jnp.asarray(x), mask))
 
     table = np.asarray(params["relative_position_bias_table"])
@@ -38,7 +39,7 @@ def test_fused_matches_module(masked):
             jnp.asarray(bias),
             jnp.asarray(params["proj"]["weight"]),
             jnp.asarray(params["proj"]["bias"]),
-            mask,
+            labels,
             heads,
             block_windows=2,
             interpret=True,
