@@ -6,13 +6,20 @@ fixed set of degradation sentences once, and never touches CLIP again
 encoded (task_classes, 512) table as a constant and has **no CLIP runtime
 dependency**.
 
-Provenance: this environment has no network access and no cached CLIP
-weights, so `assets/clip_text_embeddings.npz` holds deterministic
-placeholder embeddings (seeded, unit-scale-matched). To reproduce the
-reference's exact table, run `scripts/generate_clip_embeddings.py` on a
-machine with CLIP available, or convert a reference checkpoint — the torch
-converter (training/checkpoint.py) imports the real table from any
-Lightning ckpt that contains `net.text_prompt`-adjacent buffers.
+Provenance — read before trusting the numbers: this environment has no
+network access and no cached CLIP weights, so `clip_text_table()` returns a
+deterministic SEEDED PLACEHOLDER (Gaussian, rescaled to CLIP-like L2 norm
+~9.5). The reference's `clip_prompt` is a plain attribute — not a
+registered buffer — so it is absent from reference checkpoints and cannot
+be recovered from them; the only way to obtain the true table is to run
+`scripts/generate_clip_embeddings.py` on a machine where openai/CLIP is
+installed, which writes `assets/clip_text_embeddings.npz`. Once that file
+exists (or MP_HSIR_CLIP_TABLE points at an npz with keys `table_{1,6,7}`),
+it takes precedence over the placeholder. Until then, PSNR parity against
+published reference checkpoints is impossible by construction (the prompt
+pathway sees different text embeddings); architectural parity is instead
+proven by tests/test_reference_parity.py, which runs the actual reference
+network with the SAME table stubbed into `clip.load`.
 """
 
 from __future__ import annotations
@@ -63,14 +70,20 @@ def _placeholder_table(n: int, dim: int = CLIP_EMBED_DIM) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def clip_text_table(task_classes: int) -> np.ndarray:
-    """(task_classes, 512) float32 frozen text embedding table."""
+    """(task_classes, 512) float32 frozen text embedding table.
+
+    Resolution order: MP_HSIR_CLIP_TABLE env var (npz path) >
+    assets/clip_text_embeddings.npz (written by
+    scripts/generate_clip_embeddings.py) > seeded placeholder (see module
+    docstring for why the placeholder exists)."""
     if task_classes not in (1, 6, 7):
         raise ValueError("task_classes must be 1, 6 or 7")
-    if os.path.exists(_ASSET):
-        data = np.load(_ASSET)
-        key = f"table_{task_classes}"
-        if key in data:
-            return np.asarray(data[key], dtype=np.float32)
+    for source in (os.environ.get("MP_HSIR_CLIP_TABLE", ""), _ASSET):
+        if source and os.path.exists(source):
+            data = np.load(source)
+            key = f"table_{task_classes}"
+            if key in data:
+                return np.asarray(data[key], dtype=np.float32)
     return _placeholder_table(task_classes)
 
 

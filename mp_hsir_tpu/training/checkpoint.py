@@ -184,6 +184,67 @@ def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray], like):
     return build(like)
 
 
+def convert_torch_classifier_state(
+    torch_state: Dict[str, np.ndarray], target_variables
+) -> Tuple[Any, Dict[str, Any]]:
+    """Merge a torch FFCResNet/classifier state_dict into flax variables
+    ({"params", "batch_stats"}), with the same shape-filtered partial-load
+    semantics as `convert_torch_state`.
+
+    Torch naming differences handled (reference: net/classifier.py:145-507):
+    * `layerN.M.` module lists -> `layerN_M.`
+    * SpectralTransform's `conv1` Sequential: `conv1.0.` (conv) -> `conv1.`,
+      `conv1.1.` (BN) -> `bn1.`
+    * BatchNorm2d: `X.weight/bias` -> params `X.bn.scale/bias`,
+      `X.running_mean/var` -> batch_stats `X.bn.mean/var`,
+      `num_batches_tracked` dropped (flax keeps no step counter).
+    """
+    params_flat = _flatten(target_variables["params"])
+    stats_flat = _flatten(target_variables.get("batch_stats", {}))
+    loaded, shape_skipped, unmatched = [], [], []
+    for k, v in torch_state.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        key = re.sub(r"\blayer(\d+)\.(\d+)\.", r"layer\1_\2.", k)
+        key = re.sub(r"\bconv1\.0\.", "conv1.", key)
+        key = re.sub(r"\bconv1\.1\.", "bn1.", key)
+        path = tuple(key.split("."))
+        parent, leaf = path[:-1], path[-1]
+        bn_scale = parent + ("bn", "scale")
+        if path in params_flat:
+            adapted = _adapt(v, params_flat[path], path)
+            if adapted is None:
+                shape_skipped.append(k)
+                continue
+            params_flat[path] = np.asarray(adapted, dtype=params_flat[path].dtype)
+            loaded.append(k)
+        elif leaf in ("weight", "bias") and bn_scale in params_flat:
+            dest = parent + ("bn", "scale" if leaf == "weight" else "bias")
+            if v.shape != params_flat[dest].shape:
+                shape_skipped.append(k)
+                continue
+            params_flat[dest] = np.asarray(v, dtype=params_flat[dest].dtype)
+            loaded.append(k)
+        elif leaf in ("running_mean", "running_var"):
+            dest = parent + ("bn", "mean" if leaf == "running_mean" else "var")
+            if dest not in stats_flat:
+                unmatched.append(k)
+                continue
+            if v.shape != stats_flat[dest].shape:
+                shape_skipped.append(k)
+                continue
+            stats_flat[dest] = np.asarray(v, dtype=stats_flat[dest].dtype)
+            loaded.append(k)
+        else:
+            unmatched.append(k)
+    report = {"loaded": loaded, "shape_skipped": shape_skipped, "unmatched": unmatched}
+    new_vars = {
+        "params": _unflatten(params_flat, target_variables["params"]),
+        "batch_stats": _unflatten(stats_flat, target_variables.get("batch_stats", {})),
+    }
+    return new_vars, report
+
+
 def load_reference_checkpoint(path: str, target_params, verbose: bool = True):
     """One-call converter: torch Lightning ckpt -> flax params with
     shape-filtered partial load."""
