@@ -57,7 +57,12 @@ MODE_LABEL = {
 }
 
 
-def load_model_and_params(ckpt_path: str, model_cfg: ModelConfig):
+def load_model_and_params(ckpt_path: str, model_cfg: ModelConfig, mesh_spatial: int = 1):
+    """Params + jitted forward. With mesh_spatial > 1 the forward is the
+    multi-chip eval step: one big cube's rows sharded over a (1, N) mesh
+    (halo convs + ppermute shifts + psum'd spectral stats) — the flagship
+    'restore a 512^2 cube across chips' path, replacing the reference's
+    single-GPU loop (test.py:150-188)."""
     import jax
 
     from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
@@ -71,8 +76,15 @@ def load_model_and_params(ckpt_path: str, model_cfg: ModelConfig):
             params, _ = CKPT.load_reference_checkpoint(ckpt_path, params)
         else:
             params = CKPT.restore_params(ckpt_path, params)
-    model = MPHSIRNet(model_cfg)
-    fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+    if mesh_spatial > 1:
+        from mp_hsir_tpu.parallel.mesh import make_mesh
+        from mp_hsir_tpu.training.trainer import make_eval_step
+
+        mesh = make_mesh(data=1, spatial=mesh_spatial)
+        fwd = make_eval_step(model_cfg, mesh)
+    else:
+        model = MPHSIRNet(model_cfg)
+        fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
     return params, fwd
 
 
@@ -102,7 +114,7 @@ def make_classifier_router(classifier_ckpt: str, data_type: str):
 
 
 def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
-             task_router=None) -> dict:
+             task_router=None, mesh_spatial: int = 1) -> dict:
     import jax.numpy as jnp
 
     mode = cfg.mode
@@ -115,7 +127,7 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
         raise SystemExit(f"task id {task_id} out of range for {model_cfg.task_classes} classes")
 
     if params is None or fwd is None:
-        params, fwd = load_model_and_params(cfg.ckpt_path, model_cfg)
+        params, fwd = load_model_and_params(cfg.ckpt_path, model_cfg, mesh_spatial)
 
     dataset = ED.MODE_DATASETS[mode](cfg)
     out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
@@ -181,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dim", type=int, default=None, help="model width override (debug/sweeps)")
     p.add_argument("--num_blocks", type=int, nargs=3, default=None, help="per-level depth override")
     p.add_argument("--use_pallas", action="store_true", help="fused Pallas window attention (TPU)")
+    p.add_argument("--mesh_spatial", type=int, default=1,
+                   help="shard each cube's rows over N devices (multi-chip eval); "
+                        "H must be divisible by 8*N at the deepest level")
     return p
 
 
@@ -231,7 +246,7 @@ def main(argv=None) -> None:
     }
     print(mode_msgs.get(cfg.mode, f"mode {cfg.mode}"))
     router = make_classifier_router(args.classifier_ckpt, args.data_type) if args.auto_task else None
-    run_mode(cfg, model_cfg, task_router=router)
+    run_mode(cfg, model_cfg, task_router=router, mesh_spatial=args.mesh_spatial)
 
 
 if __name__ == "__main__":

@@ -50,6 +50,13 @@ class ModelConfig:
     # halos, shifted-window rolls, spectral-attention pixel reductions)
     # consult this.
     spatial_axis: Optional[str] = None
+    # mesh axis for head-parallel (Megatron-TP style) spectral attention;
+    # requires every level's head count to be divisible by the axis size.
+    # Weights stay replicated; see parallel/tp.py.
+    spectral_axis: Optional[str] = None
+    # activation checkpointing: remat each PGSSTB in backward (the reference
+    # has unexercised plumbing at net/MP_HSIR.py:740-743)
+    use_remat: bool = False
 
     @property
     def dims(self) -> Tuple[int, int, int]:

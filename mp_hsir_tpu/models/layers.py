@@ -226,30 +226,72 @@ class SpectralAttention(nn.Module):
     Cost is linear in pixel count — the attention matrix is (c_head, c_head).
     Under spatial sharding, pixels are distributed: the q@k^T contraction and
     the L2 norms psum over the mesh axis; softmax and attn@v stay local.
+
+    With ``spectral_axis`` set (and num_heads divisible by the axis size),
+    the attention is head-parallel Megatron-style over that mesh axis: each
+    member slices its head block out of the (replicated) qkv / dwconv /
+    temperature / projection weights via ``tp_slice``, computes only its
+    heads end to end, and the partial projected outputs are psum'd. This is
+    the band-sharding analogue for very large C (SURVEY.md section 2.6) —
+    the reference has no such dimension (single-GPU, net/MP_HSIR.py:85-114).
     """
 
     dim: int
     num_heads: int
     use_bias: bool = False
     axis_name: Optional[str] = None
+    spectral_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        from mp_hsir_tpu.parallel.tp import tp_slice
+
         b, h, w, c = x.shape
-        qkv = Conv2d(c * 3, 1, use_bias=self.use_bias, name="qkv")(x)
-        qkv = Conv2d(c * 3, 3, padding=1, groups=c * 3, use_bias=self.use_bias,
-                     axis_name=self.axis_name, name="qkv_dwconv")(qkv)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
         dh = c // self.num_heads
         p = h * w
+        sp = self.spectral_axis
+        n_sp = jax.lax.axis_size(sp) if sp is not None else 1
+        use_tp = n_sp > 1 and self.num_heads % n_sp == 0
+
+        # weights declared full-size (replicated, checkpoint-stable layout)
+        wqkv, bqkv = ConvParams(c * 3, 1, use_bias=self.use_bias, in_features=c, name="qkv")()
+        wdw, bdw = ConvParams(c * 3, 3, groups=c * 3, use_bias=self.use_bias,
+                              in_features=c * 3, name="qkv_dwconv")()
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        wout, bout = ConvParams(c, 1, use_bias=self.use_bias, in_features=c, name="project_out")()
+
+        if use_tp:
+            heads = self.num_heads // n_sp
+            cl = heads * dh
+            idx = jax.lax.axis_index(sp)
+
+            def slice_qkv(t, axis):
+                # q, k, v segments each have width c along `axis`; take this
+                # member's head block from each
+                parts = [tp_slice(t, s * c + idx * cl, cl, axis, sp) for s in range(3)]
+                return jnp.concatenate(parts, axis=axis)
+
+            wqkv = slice_qkv(wqkv, 3)
+            bqkv = slice_qkv(bqkv, 0) if bqkv is not None else None
+            wdw = slice_qkv(wdw, 3)
+            bdw = slice_qkv(bdw, 0) if bdw is not None else None
+            temp = tp_slice(temp, idx * heads, heads, 0, sp)
+            wr = tp_slice(wout.reshape(c, c), idx * cl, cl, 0, sp).reshape(heads, dh, c)
+        else:
+            heads = self.num_heads
+            wr = wout.reshape(heads, dh, c)  # Cin=(head, d) -> Cout
+
+        qkv = conv2d(x, wqkv, bqkv)
+        qkv = conv2d(qkv, wdw, bdw, padding=1, groups=qkv.shape[-1], axis_name=self.axis_name)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         # Layout-free formulation: channels stay in the lane dimension and
         # the pixel axis is contracted directly — no (B, heads, c, HW)
         # transposed copies (those cost ~3 HBM round-trips of the 3C-wide
         # activation per block). L2 normalization is folded into the tiny
         # C x C Gram matrix: qhat@khat^T = (q@k^T) / outer(|q|, |k|).
-        def r(t):  # (B,H,W,C) -> (B, P, heads, dh), a free reshape
-            return t.reshape(b, p, self.num_heads, dh)
+        def r(t):  # (B,H,W,C_local) -> (B, P, heads, dh), a free reshape
+            return t.reshape(b, p, heads, dh)
 
         q, k, v = r(q), r(k), r(v)
         gram = jnp.einsum("bphd,bphe->bhde", q, k, preferred_element_type=jnp.float32)
@@ -262,24 +304,23 @@ class SpectralAttention(nn.Module):
         nq = jnp.maximum(jnp.sqrt(nq), 1e-12)
         nk = jnp.maximum(jnp.sqrt(nk), 1e-12)
         attn = gram / (nq[..., :, None] * nk[..., None, :])
-        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
         attn = jax.nn.softmax(attn * temp, axis=-1)
 
         # Fold attn@v and the 1x1 output projection into ONE pixel matmul:
         # y[p, o] = sum_{h,e} (sum_d Wp[(h,d), o] attn[b,h,d,e]) v[b,p,h,e].
         # attn is constant over pixels, so the combined (B, C, C_out) matrix
         # costs O(C^3) once per image and the C-wide attn@v intermediate is
-        # never materialized in HBM. Param layout/naming is identical to the
-        # plain 1x1 conv so checkpoints map unchanged.
-        weight, bias = ConvParams(c, 1, use_bias=self.use_bias, name="project_out")()
-        wr = weight.reshape(self.num_heads, dh, c)  # Cin=(h, d) -> Cout
+        # never materialized in HBM. Under TP each member contracts only its
+        # local heads; the psum below completes the input-channel reduction.
         comb = jnp.einsum(
             "bhde,hdo->bheo", attn, wr.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         out = jnp.einsum("bphe,bheo->bpo", v, comb.astype(v.dtype))
-        if bias is not None:
-            out = out + bias.astype(out.dtype)
+        if use_tp:
+            out = jax.lax.psum(out, sp)
+        if bout is not None:
+            out = out + bout.astype(out.dtype)
         return out.reshape(b, h, w, c)
 
 
@@ -472,10 +513,12 @@ class TransformerBlock(nn.Module):
     expansion: float = 2.66
     use_bias: bool = False
     axis_name: Optional[str] = None
+    spectral_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name, name="attn")(
+        x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
+                                  self.spectral_axis, name="attn")(
             RestormerLayerNorm(self.dim, name="norm1")(x)
         )
         return x + GDFN(self.dim, self.expansion, self.use_bias, self.axis_name, name="ffn")(
@@ -599,11 +642,13 @@ class PromptFusion(nn.Module):
     expansion: float = 2.66
     use_bias: bool = False
     axis_name: Optional[str] = None
+    spectral_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, prompt: Array) -> Array:
         out = jnp.concatenate([x, prompt], axis=-1)
-        out = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias, self.axis_name, name="transformer")(out)
+        out = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias,
+                               self.axis_name, self.spectral_axis, name="transformer")(out)
         return Conv2d(self.out_dim, 1, use_bias=self.use_bias, name="conv")(out)
 
 
@@ -637,6 +682,7 @@ class PGSSTB(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    spectral_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -691,7 +737,8 @@ class PGSSTB(nn.Module):
         x2 = window_reverse(sa, ws, h, w)
         if shift > 0:
             x2 = roll_hw(x2, shift, shift, self.axis_name)
-        x2 = SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name, name="gobal_spectral_attn")(x2)
+        x2 = SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
+                               self.spectral_axis, name="gobal_spectral_attn")(x2)
 
         y = x1 + x2
         dp = DropPath(self.drop_path, name="drop_path")
@@ -718,12 +765,21 @@ class BaseBlock(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     use_pallas: bool = False
+    spectral_axis: Optional[str] = None
+    use_remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
         shortcut = x
+        block_cls = PGSSTB
+        if self.use_remat:
+            # activation checkpointing: recompute each PGSSTB in the backward
+            # pass instead of keeping its activations (the reference carries
+            # an unexercised use_checkpoint flag at net/MP_HSIR.py:740-743;
+            # here it is a working remat for the big remote-sensing preset)
+            block_cls = nn.remat(PGSSTB, static_argnums=(2,))
         for i in range(self.depth):
-            x = PGSSTB(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window_size=self.window_size,
@@ -736,6 +792,7 @@ class BaseBlock(nn.Module):
                 use_bias=self.use_bias,
                 axis_name=self.axis_name,
                 use_pallas=self.use_pallas,
+                spectral_axis=self.spectral_axis,
                 name=f"blocks_{i}",
             )(x, deterministic)
         return x + shortcut

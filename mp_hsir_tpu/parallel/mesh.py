@@ -11,9 +11,10 @@ mesh:
   psums its pixel-reduced statistics — all over ICI via ppermute/psum
   (see ops/conv.py, ops/window.py, models/layers.py).
 
-A third natural axis (``spectral`` — shard the band axis for very large C)
-is planned; the C x C attention pattern makes it an all_gather/psum design
-like Megatron TP.
+* ``spectral`` — head-parallel (Megatron-TP style) sharding of the C x C
+  spectral attention for very-wide-band models (100+ bands): each member
+  computes a head block and partial outputs are psum'd (parallel/tp.py,
+  models/layers.py SpectralAttention).
 """
 
 from __future__ import annotations
@@ -26,13 +27,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
+SPECTRAL_AXIS = "spectral"
 
 
-def make_mesh(data: int = 1, spatial: int = 1, devices=None) -> Mesh:
+def make_mesh(data: int = 1, spatial: int = 1, spectral: int = 1, devices=None) -> Mesh:
+    """(data, spatial[, spectral]) mesh. The spectral axis is only added
+    when sized >1 so existing 2-D users (and their compiled artifacts) are
+    untouched."""
     devices = list(devices if devices is not None else jax.devices())
-    need = data * spatial
+    need = data * spatial * spectral
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
+    if spectral > 1:
+        arr = np.asarray(devices[:need]).reshape(data, spatial, spectral)
+        return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS, SPECTRAL_AXIS))
     arr = np.asarray(devices[:need]).reshape(data, spatial)
     return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
 

@@ -22,7 +22,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mp_hsir_tpu.config import ModelConfig, TrainConfig
 from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
-from mp_hsir_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS, batch_pspec, make_mesh
+from mp_hsir_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    SPECTRAL_AXIS,
+    batch_pspec,
+    make_mesh,
+)
 from mp_hsir_tpu.training import losses
 from mp_hsir_tpu.training.schedules import linear_warmup_cosine_annealing
 
@@ -68,14 +74,22 @@ def make_train_step(
     """Build the jitted SPMD train step.
 
     Batch dict: degraded (B, C, H, W), clean (B, C, H, W), task_id (B,).
-    B must divide by mesh 'data', H by mesh 'spatial'.
+    B must divide by mesh 'data', H by mesh 'spatial'. When the mesh carries
+    a 'spectral' axis, the C x C attentions run head-parallel over it
+    (weights replicated; tp_slice's custom VJP makes the plain pmean below
+    correct for the sliced parameters too — see parallel/tp.py).
     """
-    model_cfg = dataclasses.replace(mc, spatial_axis=SPATIAL_AXIS)
+    axes = [a for a in (DATA_AXIS, SPATIAL_AXIS, SPECTRAL_AXIS) if a in mesh.axis_names]
+    model_cfg = dataclasses.replace(
+        mc,
+        spatial_axis=SPATIAL_AXIS,
+        spectral_axis=SPECTRAL_AXIS if SPECTRAL_AXIS in mesh.axis_names else None,
+    )
     model = MPHSIRNet(model_cfg)
 
     def local_step(state: TrainState, degraded, clean, task_id, rng):
         # distinct drop-path masks per data shard, identical across the
-        # spatial shards that hold rows of the same samples
+        # spatial/spectral shards that hold rows of the same samples
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
 
         def loss_fn(params):
@@ -87,9 +101,9 @@ def make_train_step(
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         # local shards are equal-sized, so the global mean loss/grads are
-        # plain pmeans over both mesh axes
-        grads = jax.lax.pmean(jax.lax.pmean(grads, DATA_AXIS), SPATIAL_AXIS)
-        loss = jax.lax.pmean(jax.lax.pmean(loss, DATA_AXIS), SPATIAL_AXIS)
+        # plain pmeans over every mesh axis
+        grads = jax.lax.pmean(grads, tuple(axes))
+        loss = jax.lax.pmean(loss, tuple(axes))
         new_state = state.apply_gradients(grads)
         return new_state, loss
 
@@ -122,7 +136,11 @@ def make_eval_step(mc: ModelConfig, mesh: Optional[Mesh] = None):
 
         return infer
 
-    model_cfg = dataclasses.replace(mc, spatial_axis=SPATIAL_AXIS)
+    model_cfg = dataclasses.replace(
+        mc,
+        spatial_axis=SPATIAL_AXIS,
+        spectral_axis=SPECTRAL_AXIS if SPECTRAL_AXIS in mesh.axis_names else None,
+    )
     model = MPHSIRNet(model_cfg)
 
     def local_infer(params, degraded, task_id):

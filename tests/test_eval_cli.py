@@ -1,0 +1,45 @@
+"""Eval CLI: the multi-chip (--mesh_spatial) path must run end to end and
+reproduce the single-device metrics — the flagship 'one big cube sharded
+across chips' path (reference role: test.py's single-GPU eval loop)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+
+from mp_hsir_tpu.config import EvalConfig, ModelConfig
+from mp_hsir_tpu.cli.test_cli import load_model_and_params, run_mode
+
+TINY = ModelConfig(
+    in_channels=31, out_channels=31, dim=16, num_blocks=(1, 1, 1),
+    num_refinement_blocks=1, heads=(2, 2, 2), task_classes=6,
+)
+
+
+@pytest.fixture(scope="module")
+def mat_dir(tmp_path_factory):
+    from mp_hsir_tpu.utils.image import save_mat_cube
+
+    d = tmp_path_factory.mktemp("cubes")
+    rng = np.random.default_rng(0)
+    # smooth-ish cube so PSNR is meaningful
+    base = rng.uniform(0.2, 0.8, (31, 8, 8)).astype(np.float32)
+    cube = np.stack([np.kron(b, np.ones((8, 8), np.float32)) for b in base])
+    save_mat_cube(str(d / "cube_0.mat"), cube)
+    return str(d)
+
+
+def test_eval_cli_meshed_matches_single(mat_dir, tmp_path):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    cfg = EvalConfig(
+        mode=0, test_dir=mat_dir, gaussian_noise_sigma=70,
+        output_path=str(tmp_path / "out"), save_images=False,
+    )
+    r1 = run_mode(cfg, TINY, mesh_spatial=1)
+    r2 = run_mode(cfg, TINY, mesh_spatial=2)
+    assert np.isfinite(r1["psnr"]) and np.isfinite(r2["psnr"])
+    np.testing.assert_allclose(r2["psnr"], r1["psnr"], atol=1e-3)
+    np.testing.assert_allclose(r2["ssim"], r1["ssim"], atol=1e-4)
