@@ -10,3 +10,10 @@ from mp_hsir_tpu.models.zoo.restormer import Restormer  # noqa: F401
 from mp_hsir_tpu.models.zoo.nafnet import NAFNet  # noqa: F401
 from mp_hsir_tpu.models.zoo.swinir import SwinIR  # noqa: F401
 from mp_hsir_tpu.models.zoo.promptir import PromptIR  # noqa: F401
+from mp_hsir_tpu.models.zoo.srformer import SRFormer  # noqa: F401
+from mp_hsir_tpu.models.zoo.loformer import LoFormer  # noqa: F401
+from mp_hsir_tpu.models.zoo.mlwnet import MLWNet  # noqa: F401
+from mp_hsir_tpu.models.zoo.essa import ESSA  # noqa: F401
+from mp_hsir_tpu.models.zoo.lkfn import LKFN  # noqa: F401
+from mp_hsir_tpu.models.zoo.mbtaylorformer import MBTaylorFormer  # noqa: F401
+from mp_hsir_tpu.models.zoo.sgnet import SGNet  # noqa: F401
