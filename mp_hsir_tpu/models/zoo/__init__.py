@@ -17,3 +17,5 @@ from mp_hsir_tpu.models.zoo.essa import ESSA  # noqa: F401
 from mp_hsir_tpu.models.zoo.lkfn import LKFN  # noqa: F401
 from mp_hsir_tpu.models.zoo.mbtaylorformer import MBTaylorFormer  # noqa: F401
 from mp_hsir_tpu.models.zoo.sgnet import SGNet  # noqa: F401
+from mp_hsir_tpu.models.zoo.diacmpn import DIACMPN  # noqa: F401
+from mp_hsir_tpu.models.zoo.pipnet import PIPNet  # noqa: F401

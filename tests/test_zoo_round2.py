@@ -112,6 +112,34 @@ def test_sgnet_tiny():
     assert y.shape == x.shape
 
 
+def test_diacmpn_tiny():
+    from mp_hsir_tpu.models.zoo import DIACMPN
+
+    m = DIACMPN(in_channels=5, out_channels=5, dims=(8, 16, 24, 16, 8),
+                depths=(2, 2, 2, 2, 2), num_heads=(2, 2, 2, 1, 1))
+    x = jnp.asarray(np.random.default_rng(11).uniform(0, 1, (1, 5, 32, 32)).astype(np.float32))
+    out, d1, d2, d3 = _run(m, x)
+    assert out.shape == x.shape
+    assert d1.shape[2:] == (8, 8) and d2.shape[2:] == (16, 16) and d3.shape[2:] == (32, 32)
+
+
+def test_pipnet_tiny():
+    from mp_hsir_tpu.models.zoo import PIPNet
+
+    m = PIPNet(in_channels=5, out_channels=5, dim=8, num_blocks=(1, 1, 1, 1),
+               num_refinement=1, heads=(1, 2, 4, 8), task_classes=6,
+               low_prompt_dims=(8, 16, 24), low_prompt_sizes=(16, 8, 4))
+    x = jnp.asarray(np.random.default_rng(12).uniform(0, 1, (1, 5, 32, 32)).astype(np.float32))
+    tid = jnp.asarray([2])
+    params = jax.jit(lambda r: m.init(r, x, tid))(jax.random.key(0))
+    y = jax.jit(lambda p, xx, t: m.apply(p, xx, t))(params, x, tid)
+    assert y.shape == x.shape
+    assert bool(jnp.isfinite(y).all())
+    # prompts condition on the task id
+    y2 = jax.jit(lambda p, xx, t: m.apply(p, xx, t))(params, x, jnp.asarray([4]))
+    assert float(jnp.abs(y - y2).max()) > 1e-7
+
+
 def test_mlwnet_dwt_roundtrip_and_forward():
     from mp_hsir_tpu.models.zoo import MLWNet
     from mp_hsir_tpu.models.zoo.mlwnet import LWN
