@@ -28,13 +28,21 @@ Array = jax.Array
 
 
 class _BN(nn.Module):
-    """torch-default BatchNorm2d (momentum 0.1, eps 1e-5) over NHWC."""
+    """torch-default BatchNorm2d (momentum 0.1, eps 1e-5) over NHWC.
+
+    With ``axis_name`` set, batch moments are psum'd across that mesh axis —
+    the SyncBN analogue (reference vendors thread-pipe SyncBN for its
+    multi-GPU baselines, net/comparison_methods/denosie/sync_batchnorm/;
+    here it is one flag on flax BatchNorm riding XLA collectives)."""
+
+    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         return nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
+            dtype=jnp.float32, axis_name=self.axis_name if train else None,
+            name="bn",
         )(x)
 
 
@@ -44,6 +52,7 @@ class FourierUnit(nn.Module):
     receptive field in one shot."""
 
     out_channels: int
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
@@ -51,7 +60,7 @@ class FourierUnit(nn.Module):
         f = jnp.fft.rfftn(x.astype(jnp.float32), s=(h, w), axes=(1, 2), norm="ortho")
         y = jnp.concatenate([f.real, f.imag], axis=-1)  # (B, H, W/2+1, 2C)
         y = Conv2d(self.out_channels * 2, 1, use_bias=False, name="conv_layer")(y)
-        y = _BN(name="bn")(y, train)
+        y = _BN(self.bn_axis, name="bn")(y, train)
         y = jax.nn.relu(y)
         re, im = jnp.split(y, 2, axis=-1)
         out = jnp.fft.irfftn(jax.lax.complex(re, im), s=(h, w), axes=(1, 2), norm="ortho")
@@ -65,14 +74,15 @@ class SpectralTransform(nn.Module):
     out_channels: int
     stride: int = 1
     enable_lfu: bool = True
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
         if self.stride == 2:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = Conv2d(self.out_channels // 2, 1, use_bias=False, name="conv1")(x)
-        x = jax.nn.relu(_BN(name="bn1")(x, train))
-        out = FourierUnit(self.out_channels // 2, name="fu")(x, train)
+        x = jax.nn.relu(_BN(self.bn_axis, name="bn1")(x, train))
+        out = FourierUnit(self.out_channels // 2, self.bn_axis, name="fu")(x, train)
         if self.enable_lfu:
             b, h, w, c = x.shape
             sh, sw = h // 2, w // 2
@@ -80,7 +90,7 @@ class SpectralTransform(nn.Module):
             xs = x[..., : c // 4]
             xs = jnp.concatenate(jnp.split(xs, 2, axis=1), axis=-1)
             xs = jnp.concatenate(jnp.split(xs, 2, axis=2), axis=-1)  # (B, H/2, W/2, C)
-            xs = FourierUnit(self.out_channels // 2, name="lfu")(xs, train)
+            xs = FourierUnit(self.out_channels // 2, self.bn_axis, name="lfu")(xs, train)
             xs = jnp.tile(xs, (1, 2, 2, 1))
         else:
             xs = 0.0
@@ -99,6 +109,7 @@ class FFC(nn.Module):
     stride: int = 1
     padding: int = 0
     enable_lfu: bool = True
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool):
@@ -123,7 +134,7 @@ class FFC(nn.Module):
                 out_xg = conv("convl2g", out_cg)(x_l)
             if in_cg > 0:
                 out_xg = out_xg + SpectralTransform(
-                    out_cg, self.stride, self.enable_lfu, name="convg2g"
+                    out_cg, self.stride, self.enable_lfu, self.bn_axis, name="convg2g"
                 )(x_g, train)
         return out_xl, out_xg
 
@@ -138,21 +149,23 @@ class FFC_BN_ACT(nn.Module):
     padding: int = 0
     act: bool = False
     enable_lfu: bool = True
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool):
         y_l, y_g = FFC(
             self.in_channels, self.out_channels, self.kernel, self.ratio_gin,
-            self.ratio_gout, self.stride, self.padding, self.enable_lfu, name="ffc",
+            self.ratio_gout, self.stride, self.padding, self.enable_lfu,
+            self.bn_axis, name="ffc",
         )(x_l, x_g, train)
         out_cg = int(self.out_channels * self.ratio_gout)
         out_cl = self.out_channels - out_cg
         if out_cl > 0:
-            y_l = _BN(name="bn_l")(y_l, train)
+            y_l = _BN(self.bn_axis, name="bn_l")(y_l, train)
             if self.act:
                 y_l = jax.nn.relu(y_l)
         if out_cg > 0:
-            y_g = _BN(name="bn_g")(y_g, train)
+            y_g = _BN(self.bn_axis, name="bn_g")(y_g, train)
             if self.act:
                 y_g = jax.nn.relu(y_g)
         return y_l, y_g
@@ -168,23 +181,27 @@ class FFCBasicBlock(nn.Module):
     ratio_gout: float = 0.5
     has_downsample: bool = False
     enable_lfu: bool = True
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool):
         if self.has_downsample:
             id_l, id_g = FFC_BN_ACT(
                 self.inplanes, self.planes, 1, self.ratio_gin, self.ratio_gout,
-                stride=self.stride, act=False, enable_lfu=self.enable_lfu, name="downsample",
+                stride=self.stride, act=False, enable_lfu=self.enable_lfu,
+                bn_axis=self.bn_axis, name="downsample",
             )(x_l, x_g, train)
         else:
             id_l, id_g = x_l, x_g
         y_l, y_g = FFC_BN_ACT(
             self.inplanes, self.planes, 3, self.ratio_gin, self.ratio_gout,
-            stride=self.stride, padding=1, act=True, enable_lfu=self.enable_lfu, name="conv1",
+            stride=self.stride, padding=1, act=True, enable_lfu=self.enable_lfu,
+            bn_axis=self.bn_axis, name="conv1",
         )(x_l, x_g, train)
         y_l, y_g = FFC_BN_ACT(
             self.planes, self.planes, 3, self.ratio_gout, self.ratio_gout,
-            padding=1, act=False, enable_lfu=self.enable_lfu, name="conv2",
+            padding=1, act=False, enable_lfu=self.enable_lfu,
+            bn_axis=self.bn_axis, name="conv2",
         )(y_l, y_g, train)
         out_l = y_l + id_l if not isinstance(y_l, float) else id_l
         out_g = (y_g + id_g) if not (isinstance(y_g, float) and isinstance(id_g, float)) else 0.0
@@ -209,13 +226,15 @@ class FFCResNet(nn.Module):
     size: Tuple[int, int] = (256, 256)
     ratio: float = 0.5
     enable_lfu: bool = True
+    # mesh axis for SyncBN (psum'd batch moments) when training data-parallel
+    bn_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = x.transpose(0, 2, 3, 1)  # NHWC
         x = resize_bilinear(x, self.size[0], self.size[1], align_corners=False)
         x = Conv2d(self.inplanes, 7, stride=2, padding=3, use_bias=False, name="conv1")(x)
-        x = jax.nn.relu(_BN(name="bn1")(x, train))
+        x = jax.nn.relu(_BN(self.bn_axis, name="bn1")(x, train))
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
 
@@ -233,13 +252,13 @@ class FFCResNet(nn.Module):
                     has_ds = stride != 1 or inplanes != planes or rgin == 0
                     x_l, x_g = FFCBasicBlock(
                         inplanes, planes, stride, rgin, rgout, has_ds,
-                        self.enable_lfu, name=f"layer{li + 1}_{bi}",
+                        self.enable_lfu, self.bn_axis, name=f"layer{li + 1}_{bi}",
                     )(x_l, x_g, train)
                     inplanes = planes
                 else:
                     x_l, x_g = FFCBasicBlock(
                         inplanes, planes, 1, rgout, rgout, False,
-                        self.enable_lfu, name=f"layer{li + 1}_{bi}",
+                        self.enable_lfu, self.bn_axis, name=f"layer{li + 1}_{bi}",
                     )(x_l, x_g, train)
         feat = jnp.mean(x_l, axis=(1, 2))  # global average pool
         return Linear(self.num_classes, name="fc")(feat)

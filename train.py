@@ -56,9 +56,11 @@ def main(argv=None):
     from mp_hsir_tpu.parallel.mesh import make_mesh
     from mp_hsir_tpu.training import checkpoint as CKPT
     from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
+    from mp_hsir_tpu.parallel.distributed import initialize_distributed
     from mp_hsir_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
+    initialize_distributed()  # multi-host no-op guard (parallel/distributed.py)
 
     n_dev = len(jax.devices())
     mesh_data = args.mesh_data or max(n_dev // args.mesh_spatial, 1)

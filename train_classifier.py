@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--steps_per_epoch", type=int, default=None)
     p.add_argument("--size", type=int, default=256, help="classifier input resize")
     p.add_argument("--log_every", type=int, default=20)
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel devices; BatchNorm moments are psum'd "
+                        "across them (SyncBN analogue)")
     return p
 
 
@@ -43,11 +46,13 @@ def main(argv=None):
     from mp_hsir_tpu.data.patch_store import PatchStore
     from mp_hsir_tpu.models.classifier import FFCResNet, degradation_label
     from mp_hsir_tpu.ops.pipeline_degrade import CLASSIFIER_DE_TYPES, make_batch_degrader
+    from mp_hsir_tpu.parallel.distributed import initialize_distributed
     from mp_hsir_tpu.training.schedules import linear_warmup_cosine_annealing
     from mp_hsir_tpu.utils.env import enable_compilation_cache
     from mp_hsir_tpu.utils.image import interpolate_bands
 
     enable_compilation_cache()
+    initialize_distributed()  # no-op single-process (parallel/distributed.py)
 
     de_types = CLASSIFIER_DE_TYPES[args.data_type]
     num_classes = 5 if args.data_type == "natural_scene" else 6
@@ -59,7 +64,10 @@ def main(argv=None):
     cirrus = np.stack([default_cirrus(seed=s) for s in range(4)]) if "haze" in de_types else None
     degrade = jax.jit(make_batch_degrader(de_types, args.data_type, cirrus))
 
-    model = FFCResNet(in_channel=bands, num_classes=num_classes, size=(args.size, args.size))
+    dp = args.mesh_data
+    model = FFCResNet(in_channel=bands, num_classes=num_classes,
+                      size=(args.size, args.size),
+                      bn_axis="data" if dp > 1 else None)
 
     rng = jax.random.key(args.seed)
     sample = jnp.zeros((1, bands, 64, 64), jnp.float32)
@@ -76,8 +84,7 @@ def main(argv=None):
     pos_weight[1] = 3.0
     pw = jnp.asarray(pos_weight)
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, degraded, labels):
+    def local_step(params, batch_stats, opt_state, degraded, labels):
         def loss_fn(p):
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats}, degraded, train=True,
@@ -90,8 +97,29 @@ def main(argv=None):
             return loss.mean(), mutated["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if dp > 1:
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            # BN moments were psum'd inside the forward, so new_bs is
+            # already identical on every member
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
+
+    if dp > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from mp_hsir_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=dp)
+        bspec = P("data")
+        step = jax.jit(jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P(), bspec, bspec),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        ))
+    else:
+        step = jax.jit(local_step)
 
     os.makedirs(args.ckpt_dir, exist_ok=True)
     print(f"classifier: {num_classes} classes, de_types={de_types}, "
