@@ -171,6 +171,28 @@ class FFC_BN_ACT(nn.Module):
         return y_l, y_g
 
 
+class FFCSEBlock(nn.Module):
+    """Squeeze-excitation over the concatenated local/global streams with
+    per-stream excitation convs (reference: classifier.py:112-142
+    FFCSE_block)."""
+
+    channels: int
+    ratio_g: float
+
+    @nn.compact
+    def __call__(self, x_l, x_g):
+        in_cg = int(self.channels * self.ratio_g)
+        in_cl = self.channels - in_cg
+        cat = x_l if isinstance(x_g, float) else jnp.concatenate([x_l, x_g], axis=-1)
+        z = jnp.mean(cat, axis=(1, 2), keepdims=True)
+        z = jax.nn.relu(Conv2d(self.channels // 16, 1, name="conv1")(z))
+        out_l = 0.0 if in_cl == 0 else x_l * jax.nn.sigmoid(
+            Conv2d(in_cl, 1, name="conv_a2l")(z))
+        out_g = 0.0 if in_cg == 0 else x_g * jax.nn.sigmoid(
+            Conv2d(in_cg, 1, name="conv_a2g")(z))
+        return out_l, out_g
+
+
 class FFCBasicBlock(nn.Module):
     """Residual FFC block (reference: classifier.py:335-374)."""
 
@@ -182,6 +204,7 @@ class FFCBasicBlock(nn.Module):
     has_downsample: bool = False
     enable_lfu: bool = True
     bn_axis: Optional[str] = None
+    use_se: bool = False
 
     @nn.compact
     def __call__(self, x_l, x_g, train: bool):
@@ -203,6 +226,57 @@ class FFCBasicBlock(nn.Module):
             padding=1, act=False, enable_lfu=self.enable_lfu,
             bn_axis=self.bn_axis, name="conv2",
         )(y_l, y_g, train)
+        if self.use_se:
+            y_l, y_g = FFCSEBlock(self.planes, self.ratio_gout, name="se_block")(y_l, y_g)
+        out_l = y_l + id_l if not isinstance(y_l, float) else id_l
+        out_g = (y_g + id_g) if not (isinstance(y_g, float) and isinstance(id_g, float)) else 0.0
+        out_l = jax.nn.relu(out_l)
+        if not isinstance(out_g, float):
+            out_g = jax.nn.relu(out_g)
+        return out_l, out_g
+
+
+class FFCBottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 x4 FFC bottleneck, expansion 4
+    (reference: classifier.py:377-413 Bottleneck)."""
+
+    inplanes: int
+    planes: int
+    stride: int = 1
+    ratio_gin: float = 0.5
+    ratio_gout: float = 0.5
+    has_downsample: bool = False
+    enable_lfu: bool = True
+    bn_axis: Optional[str] = None
+    use_se: bool = False
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x_l, x_g, train: bool):
+        out_planes = self.planes * self.expansion
+        if self.has_downsample:
+            id_l, id_g = FFC_BN_ACT(
+                self.inplanes, out_planes, 1, self.ratio_gin, self.ratio_gout,
+                stride=self.stride, act=False, enable_lfu=self.enable_lfu,
+                bn_axis=self.bn_axis, name="downsample",
+            )(x_l, x_g, train)
+        else:
+            id_l, id_g = x_l, x_g
+        y_l, y_g = FFC_BN_ACT(
+            self.inplanes, self.planes, 1, self.ratio_gin, self.ratio_gout,
+            act=True, enable_lfu=self.enable_lfu, bn_axis=self.bn_axis, name="conv1",
+        )(x_l, x_g, train)
+        y_l, y_g = FFC_BN_ACT(
+            self.planes, self.planes, 3, self.ratio_gout, self.ratio_gout,
+            stride=self.stride, padding=1, act=True, enable_lfu=self.enable_lfu,
+            bn_axis=self.bn_axis, name="conv2",
+        )(y_l, y_g, train)
+        y_l, y_g = FFC_BN_ACT(
+            self.planes, out_planes, 1, self.ratio_gout, self.ratio_gout,
+            act=False, enable_lfu=self.enable_lfu, bn_axis=self.bn_axis, name="conv3",
+        )(y_l, y_g, train)
+        if self.use_se:
+            y_l, y_g = FFCSEBlock(out_planes, self.ratio_gout, name="se_block")(y_l, y_g)
         out_l = y_l + id_l if not isinstance(y_l, float) else id_l
         out_g = (y_g + id_g) if not (isinstance(y_g, float) and isinstance(id_g, float)) else 0.0
         out_l = jax.nn.relu(out_l)
@@ -228,6 +302,8 @@ class FFCResNet(nn.Module):
     enable_lfu: bool = True
     # mesh axis for SyncBN (psum'd batch moments) when training data-parallel
     bn_axis: Optional[str] = None
+    block: str = "basic"  # or "bottleneck" (reference Bottleneck, expansion 4)
+    use_se: bool = False  # FFCSE squeeze-excitation inside each block
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -246,19 +322,23 @@ class FFCResNet(nn.Module):
             (self.inplanes * 4, 2, self.ratio, self.ratio),
             (self.inplanes * 8, 2, self.ratio, 0.0),
         ]
+        block_cls = FFCBasicBlock if self.block == "basic" else FFCBottleneck
+        expansion = 1 if self.block == "basic" else 4
         for li, (planes, stride, rgin, rgout) in enumerate(specs):
             for bi in range(self.layers[li]):
                 if bi == 0:
-                    has_ds = stride != 1 or inplanes != planes or rgin == 0
-                    x_l, x_g = FFCBasicBlock(
+                    has_ds = stride != 1 or inplanes != planes * expansion or rgin == 0
+                    x_l, x_g = block_cls(
                         inplanes, planes, stride, rgin, rgout, has_ds,
-                        self.enable_lfu, self.bn_axis, name=f"layer{li + 1}_{bi}",
+                        self.enable_lfu, self.bn_axis, self.use_se,
+                        name=f"layer{li + 1}_{bi}",
                     )(x_l, x_g, train)
-                    inplanes = planes
+                    inplanes = planes * expansion
                 else:
-                    x_l, x_g = FFCBasicBlock(
+                    x_l, x_g = block_cls(
                         inplanes, planes, 1, rgout, rgout, False,
-                        self.enable_lfu, self.bn_axis, name=f"layer{li + 1}_{bi}",
+                        self.enable_lfu, self.bn_axis, self.use_se,
+                        name=f"layer{li + 1}_{bi}",
                     )(x_l, x_g, train)
         feat = jnp.mean(x_l, axis=(1, 2))  # global average pool
         return Linear(self.num_classes, name="fc")(feat)

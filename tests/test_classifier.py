@@ -58,3 +58,15 @@ def test_ffc_resnet_forward():
     # train mode mutates batch stats
     out, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
     assert "batch_stats" in mutated
+
+
+def test_ffc_resnet_bottleneck_and_se():
+    """Bottleneck (expansion-4) FFC blocks + FFCSE squeeze-excitation
+    (reference classifier.py:112-142, 377-413)."""
+    model = FFCResNet(in_channel=4, layers=(1, 1, 1, 1), inplanes=16,
+                      num_classes=5, size=(64, 64), block="bottleneck", use_se=True)
+    x = jnp.asarray(RNG.uniform(0, 1, (1, 4, 32, 32)).astype(np.float32))
+    variables = jax.jit(lambda r: model.init(r, x, train=False))(jax.random.key(0))
+    logits = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, x)
+    assert logits.shape == (1, 5)
+    assert bool(jnp.isfinite(logits).all())

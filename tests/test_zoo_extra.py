@@ -32,7 +32,24 @@ def test_fftformer_tiny():
 def test_backbone_classifier_tiny():
     from mp_hsir_tpu.models.backbone_classifier import BackboneClassifier
 
-    m = BackboneClassifier(feat_dim=6, out_dim=5, size=(64, 64), widths=(8, 16, 32, 64), blocks_per_stage=1)
+    m = BackboneClassifier(backbone="resnet18", feat_dim=6, out_dim=5,
+                           size=(64, 64), width=8)
     x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (2, 6, 32, 32)).astype(np.float32))
     y = _run(m, x, train=False)
     assert y.shape == (2, 5)
+
+
+def test_backbone_classifier_variants():
+    """All 5 reference backbones (classifier.py:22-64) at test width."""
+    from mp_hsir_tpu.models.backbone_classifier import BackboneClassifier
+
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (1, 6, 32, 32)).astype(np.float32))
+    for kw in (
+        dict(backbone="resnet50", width=8),
+        dict(backbone="vgg16", width=8),
+        dict(backbone="densenet121", width=8),
+        dict(backbone="vit", vit_dim=16, vit_depth=2, vit_heads=2, size=(32, 32)),
+    ):
+        m = BackboneClassifier(feat_dim=6, out_dim=5, size=kw.pop("size", (64, 64)), **kw)
+        y = _run(m, x, train=False)
+        assert y.shape == (1, 5), kw
