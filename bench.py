@@ -34,12 +34,21 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    from mp_hsir_tpu.config import remote_sensing_config
+
     # Default OFF: the round-1 block-diagonal Pallas window attention was a
     # measured ~26% end-to-end regression vs the XLA path at 512x512
     # (3.56 vs 4.83 cubes/s). Opt in with BENCH_PALLAS=1 only once
     # scripts/profile_pallas.py shows the kernel winning.
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
-    cfg = natural_scene_config(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
+    # BENCH_RS=1: the 100-band dim-96 remote-sensing preset (reference
+    # train.py:45) at 256x256 — the wide-spectral path where the C x C
+    # attention cost bites.
+    rs_mode = os.environ.get("BENCH_RS", "0") == "1"
+    if rs_mode:
+        cfg = remote_sensing_config(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
+    else:
+        cfg = natural_scene_config(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
     params = init_params(cfg, jax.random.key(0), sample_hw=64)
     model = MPHSIRNet(cfg)
 
@@ -47,7 +56,7 @@ def main() -> None:
     def fwd(p, x, t):
         return model.apply({"params": p}, x, t)
 
-    h = w = 512
+    h = w = int(os.environ.get("BENCH_SIZE", "256" if rs_mode else "512"))
     x = jax.random.uniform(jax.random.key(1), (1, cfg.in_channels, h, w), jnp.float32)
     tid = jnp.zeros((1,), jnp.int32)
 
@@ -80,13 +89,21 @@ def main() -> None:
     median = times[len(times) // 2]
     cubes_per_sec = 1.0 / median
 
+    baseline = REFERENCE_A100_CUBES_PER_SEC
+    if rs_mode:
+        metric = f"remote-sensing {h}x{w}x100 restoration throughput (single chip, bf16, batch 1)"
+        # same FLOP-based estimate rescaled: cost ~ pixels * dim^2
+        baseline = REFERENCE_A100_CUBES_PER_SEC * (512 * 512 * 64 * 64) / (h * w * 96 * 96)
+    else:
+        metric = f"ICVL {h}x{w}x31 restoration throughput (single chip, bf16, batch 1)"
+        baseline = REFERENCE_A100_CUBES_PER_SEC * (512 * 512) / (h * w)
     print(
         json.dumps(
             {
-                "metric": "ICVL 512x512x31 restoration throughput (single chip, bf16, batch 1)",
+                "metric": metric,
                 "value": round(cubes_per_sec, 4),
                 "unit": "cubes/sec",
-                "vs_baseline": round(cubes_per_sec / REFERENCE_A100_CUBES_PER_SEC, 3),
+                "vs_baseline": round(cubes_per_sec / baseline, 3),
             }
         )
     )

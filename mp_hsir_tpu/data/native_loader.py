@@ -83,6 +83,9 @@ class NativePatchStore:
         return (chw[0], chw[1], chw[2])
 
     def gather(self, idxs: np.ndarray) -> np.ndarray:
+        """Batched read. All requested patches must share one shape (the
+        writer's 64x64xC contract); raises ValueError otherwise — use
+        `gather_grouped` for stores mixing scales."""
         idxs = np.ascontiguousarray(idxs, np.int64)
         c, h, w = self.shape_of(int(idxs[0]) % len(self))
         out = np.empty((len(idxs), c, h, w), np.float32)
@@ -95,6 +98,25 @@ class NativePatchStore:
         )
         if rc != 0:
             raise ValueError("mixed patch shapes in gather")
+        return out
+
+    def gather_grouped(self, idxs: np.ndarray):
+        """Shape-safe gather: groups the indices by patch shape, runs one
+        native gather per group, and returns a list of arrays in the
+        ORIGINAL request order (the multi-scale builder can emit mixed
+        shapes; the homogeneous fast path stays a single batched read)."""
+        idxs = np.ascontiguousarray(idxs, np.int64)
+        shapes = [self.shape_of(int(i) % len(self)) for i in idxs]
+        if len(set(shapes)) <= 1:
+            return list(self.gather(idxs))
+        out = [None] * len(idxs)
+        by_shape = {}
+        for pos, s in enumerate(shapes):
+            by_shape.setdefault(s, []).append(pos)
+        for s, positions in by_shape.items():
+            batch = self.gather(idxs[np.asarray(positions)])
+            for p, arr in zip(positions, batch):
+                out[p] = arr
         return out
 
     def close(self):

@@ -37,3 +37,28 @@ def test_native_threaded_gather_large(store_dir):
     idxs = np.random.default_rng(1).integers(0, 12, size=64)
     np.testing.assert_array_equal(ns.gather(idxs), ps.gather(idxs))
     ns.close()
+
+
+def test_native_gather_grouped_mixed_shapes(tmp_path):
+    """Multi-scale stores can mix patch shapes; gather_grouped must return
+    every patch in request order regardless."""
+    if not native_available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(1)
+    patches = [
+        rng.random((6, 16, 16)).astype(np.float32),
+        rng.random((6, 8, 8)).astype(np.float32),
+        rng.random((6, 16, 16)).astype(np.float32),
+        rng.random((6, 8, 8)).astype(np.float32),
+    ]
+    with PatchStoreWriter(str(tmp_path)) as w:
+        for i, p in enumerate(patches):
+            w.add(p, f"WDC_{i}")
+    ns = NativePatchStore(str(tmp_path))
+    # plain gather on mixed shapes must refuse loudly
+    with pytest.raises(ValueError):
+        ns.gather(np.array([0, 1]))
+    got = ns.gather_grouped(np.array([3, 0, 1, 2]))
+    for g, want in zip(got, [patches[3], patches[0], patches[1], patches[2]]):
+        np.testing.assert_array_equal(g, want)
+    ns.close()
