@@ -31,10 +31,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
 
     All WB windows of the block are flattened to T = WB*N tokens and each
     head attends over the full T x T matrix with cross-window positions
-    knocked out by an iota-derived -inf mask. That wastes WB x FLOPs on the
-    (cheap) attention matmuls but keeps every op 2-D — no lane-splitting
-    reshapes, no batched dots, full MXU tiles. Per-head q/k/v are static
-    lane slices of the single fused QKV matmul.
+    knocked out by an iota-derived -inf mask. That keeps every op 2-D —
+    no lane-splitting reshapes, no batched dots — at a WB x FLOP overhead
+    on the attention matmuls; WB=2 (T=128) makes each per-head score matrix
+    exactly one 128x128 MXU tile, so the overhead is 2x on the CHEAP dots
+    while the expensive qkv/output projections stay dense. All matmuls run
+    in the input dtype (bf16 on TPU) with f32 accumulation; softmax is f32.
+    (Round 1 shipped WB=16 + f32 dots — a measured end-to-end regression;
+    this version was re-profiled per scripts/profile_pallas.py.)
 
     bias_ref: (nH*N, N) — per-head rel-pos bias stacked on the sublane axis.
     mask_ref (shift masks): (WB*N, 1) int32 per-token REGION LABELS — two
@@ -44,40 +48,55 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num
     wb, n, c = x_ref.shape
     dh = c // num_heads
     t = wb * n
+    dtype = x_ref.dtype
     x = x_ref[:].reshape(t, c)
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
-
-    # cross-window blanking: token i may attend token j iff i//N == j//N
-    row_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n
-    col_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n
-    off_diag = row_win != col_win
-    if has_mask:
-        lab = mask_ref[:].reshape(t, 1)  # (T, 1) int32
-        off_diag = off_diag | (lab != lab.reshape(1, t))
-
-    # relative-position bias tiled over the window diagonal: value at
-    # (i, j) inside a window is bias[h, i%N, j%N]; replicate the (N, N)
-    # tile WB x WB times (pltpu.repeat = no lane-split reshape)
-    col_in_win = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) % n
+    qkv_f32 = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv = qkv_f32.astype(dtype)
 
     scale = dh ** -0.5
+    # pair-loop: large blocks amortize per-grid-step overhead, but the
+    # quadratic attention ops run per 128-token (2-window) segment — one
+    # MXU tile per score matrix, waste capped at 2x regardless of WB
+    seg = 2 * n if wb % 2 == 0 and t > 2 * n else t
+    n_seg = t // seg
+
+    # cross-window blanking inside one segment: token i may attend token j
+    # iff i//N == j//N (the segment holds seg//N whole windows)
+    row_win = jax.lax.broadcasted_iota(jnp.int32, (seg, seg), 0) // n
+    col_win = jax.lax.broadcasted_iota(jnp.int32, (seg, seg), 1) // n
+    off_base = row_win != col_win
+    lab = mask_ref[:].reshape(t, 1) if has_mask else None  # (T, 1) int32
+
     outs = []
     for h in range(num_heads):
-        q = qkv[:, h * dh : (h + 1) * dh] * scale
+        q = qkv[:, h * dh : (h + 1) * dh]
         k = qkv[:, c + h * dh : c + (h + 1) * dh]
         v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
-        attn = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (T, T)
         bias_h = bias_ref[h * n : (h + 1) * n, :]  # (N, N)
-        bias_tiled = pltpu.repeat(pltpu.repeat(bias_h, wb, axis=0), wb, axis=1)
-        attn = attn + bias_tiled
-        attn = jnp.where(off_diag, -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1)
-        o = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        outs.append(o)
+        rep = seg // n
+        if rep > 1:
+            bias_h = pltpu.repeat(pltpu.repeat(bias_h, rep, axis=0), rep, axis=1)
+        segs = []
+        for s in range(n_seg):
+            rows = slice(s * seg, (s + 1) * seg)
+            attn = jax.lax.dot_general(
+                q[rows], k[rows], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (seg, seg) f32
+            attn = attn + bias_h
+            od = off_base
+            if lab is not None:
+                lab_s = lab[rows]
+                od = od | (lab_s != lab_s.reshape(1, seg))
+            attn = jnp.where(od, -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1)
+            segs.append(
+                jnp.dot(attn.astype(dtype), v[rows], preferred_element_type=jnp.float32)
+            )
+        o = segs[0] if n_seg == 1 else jnp.concatenate(segs, axis=0)
+        outs.append(o.astype(dtype))
     o = jnp.concatenate(outs, axis=1)  # (T, C), heads packed on lanes
-    y = jnp.dot(o.astype(x_ref.dtype), wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
+    y = jnp.dot(o, wp_ref[:], preferred_element_type=jnp.float32) + bp_ref[:]
     out_ref[:] = y.reshape(wb, n, c).astype(out_ref.dtype)
 
 
@@ -100,7 +119,7 @@ def fused_window_attention(
     bp: Array,             # (C,)
     labels: Optional[Array],  # (nW_pattern, N) int32 shift-region labels or None
     num_heads: int,
-    block_windows: int = 16,  # measured best on v5e (see CLAUDE.md)
+    block_windows: int = 16,  # large block, pair-loop attention inside
     interpret: bool = False,
 ) -> Array:
     nw, n, c = windows.shape

@@ -18,7 +18,7 @@ enable_compilation_cache()
 
 from mp_hsir_tpu.models.layers import SpatialAttention, _relative_position_index
 from mp_hsir_tpu.ops.pallas_attention import fused_window_attention
-from mp_hsir_tpu.ops.window import shifted_window_mask
+from mp_hsir_tpu.ops.window import shifted_window_labels
 
 N_CHAIN = int(os.environ.get("PROF_CHAIN", "50"))
 DT = jnp.bfloat16
@@ -59,21 +59,23 @@ def main():
         bias = jnp.asarray(table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1), jnp.float32)
         wp = jnp.asarray(params["proj"]["weight"], DT)
         bp = jnp.asarray(params["proj"]["bias"], jnp.float32)
-        mask = jnp.asarray(shifted_window_mask(int(np.sqrt(nw)) * 8, int(np.sqrt(nw)) * 8, ws, 4))
+        side = int(np.sqrt(nw)) * 8
+        labels = jnp.asarray(shifted_window_labels(side, side, ws, 4))
 
         timed(f"{tag} jnp module ({nw}x64x{dim})",
               lambda w_, p=params, m=mod: m.apply({"params": p}, w_), win)
-        for bwz in (16, 32, 64):
+        for bwz in (8, 16, 32):
             timed(
                 f"{tag} pallas (block={bwz})",
                 lambda w_, bw_=bwz: fused_window_attention(w_, wqkv, bqkv, bias, wp, bp, None, heads, block_windows=bw_),
                 win,
             )
-        timed(
-            f"{tag} pallas masked (block=32)",
-            lambda w_: fused_window_attention(w_, wqkv, bqkv, bias, wp, bp, mask, heads, block_windows=32),
-            win,
-        )
+        for bwz in (8, 16):
+            timed(
+                f"{tag} pallas masked (block={bwz})",
+                lambda w_, bw_=bwz: fused_window_attention(w_, wqkv, bqkv, bias, wp, bp, labels, heads, block_windows=bw_),
+                win,
+            )
 
 
 if __name__ == "__main__":
