@@ -36,11 +36,11 @@ def main() -> None:
 
     from mp_hsir_tpu.config import remote_sensing_config
 
-    # Default OFF: the round-1 block-diagonal Pallas window attention was a
-    # measured ~26% end-to-end regression vs the XLA path at 512x512
-    # (3.56 vs 4.83 cubes/s). Opt in with BENCH_PALLAS=1 only once
-    # scripts/profile_pallas.py shows the kernel winning.
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    # Default ON since round 2: the fused NHWC slab kernel (LN + window MSA
+    # in one Pallas pass, no window tensors) measures 141 vs 167 ms/cube
+    # against the pure-XLA path at 512^2 (BENCH_NOTES.md). BENCH_PALLAS=0
+    # falls back to XLA attention.
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     # BENCH_RS=1: the 100-band dim-96 remote-sensing preset (reference
     # train.py:45) at 256x256 — the wide-spectral path where the C x C
     # attention cost bites.

@@ -27,6 +27,7 @@ from mp_hsir_tpu.ops.conv import conv2d
 from mp_hsir_tpu.ops.resize import resize_bilinear, resize_bilinear_row_block, resize_nearest
 from mp_hsir_tpu.ops.window import (
     roll_hw,
+    shifted_region_map,
     shifted_window_labels,
     shifted_window_mask,
     window_partition,
@@ -146,6 +147,19 @@ class LayerNorm(nn.Module):
         w = self.param("weight", nn.initializers.ones, (self.dim,))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
         return layer_norm(x, w, b, self.eps)
+
+
+class LayerNormParams(nn.Module):
+    """Declares LayerNorm parameters (same names/shapes/init) without
+    applying them — for kernels that fuse the normalization."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
 
 
 class DropPath(nn.Module):
@@ -339,33 +353,48 @@ class PGSpectralAttention(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        # x: (Bw, N, C) window tokens
+    def __call__(self, x: Optional[Array] = None, pooled: Optional[Array] = None) -> Array:
+        """Two call modes, identical parameters:
+
+        * window tokens ``x`` (Bw, N, C): pools internally and returns the
+          GATED tokens (reference semantics, out * shortcut);
+        * ``pooled`` (B, T, C) per-window descriptors: returns only the
+          (B, T, C) GATES — used by the fused NHWC path, where the
+          per-window gate is broadcast onto the map outside.
+        """
+        if pooled is None:
+            assert x is not None
+            shortcut = x
+            p = jnp.mean(x, axis=1, keepdims=True)  # (Bw, 1, C)
+        else:
+            bt = pooled.shape
+            p = pooled.reshape(bt[0] * bt[1], 1, bt[2])
+
         cr = self.dim // self.compress_ratio
         scale = cr ** -0.5
-        shortcut = x
-        pooled = jnp.mean(x, axis=1, keepdims=True)  # (Bw, 1, C)
         pw = jax.nn.softmax(
-            Linear(self.prompt_len, use_bias=self.use_bias, name="linear_prompt")(pooled).astype(jnp.float32),
+            Linear(self.prompt_len, use_bias=self.use_bias, name="linear_prompt")(p).astype(jnp.float32),
             axis=-1,
-        ).astype(x.dtype)  # (Bw, 1, L)
-        down = Linear(cr, use_bias=self.use_bias, name="linear_down")(pooled)  # (Bw, 1, cr)
+        ).astype(p.dtype)  # (M, 1, L)
+        down = Linear(cr, use_bias=self.use_bias, name="linear_down")(p)  # (M, 1, cr)
         bank = self.param(
             "prompt_param",
             lambda key, shape: jax.random.uniform(key, shape),  # torch.rand
             (1, 1, self.prompt_len, cr),
         )
-        prompt = jnp.einsum("bol,olr->bor", pw, bank[0].astype(x.dtype))  # (Bw, 1, cr)
+        prompt = jnp.einsum("bol,olr->bor", pw, bank[0].astype(p.dtype))  # (M, 1, cr)
         q = Linear(cr, use_bias=self.use_bias, name="q")(prompt)
         kv = Linear(2 * cr, use_bias=self.use_bias, name="kv")(down)
         k, v = jnp.split(kv, 2, axis=-1)
-        # q,k,v: (Bw, 1, cr). attn[b, i, j] = q[b,0,i] * k[b,0,j] * scale
+        # q,k,v: (M, 1, cr). attn[b, i, j] = q[b,0,i] * k[b,0,j] * scale
         attn = jnp.einsum("boi,boj->bij", q, k, preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bij,boj->boi", attn, v)  # (Bw, 1, cr)
+        attn = jax.nn.softmax(attn, axis=-1).astype(p.dtype)
+        out = jnp.einsum("bij,boj->boi", attn, v)  # (M, 1, cr)
         out = Linear(cr, use_bias=True, name="proj")(out)
-        out = Linear(self.dim, use_bias=self.use_bias, name="linear_up")(out)  # (Bw, 1, C)
-        return out * shortcut
+        out = Linear(self.dim, use_bias=self.use_bias, name="linear_up")(out)  # (M, 1, C)
+        if pooled is None:
+            return out * shortcut
+        return out.reshape(bt)
 
 
 class SpatialAttention(nn.Module):
@@ -424,6 +453,39 @@ class SpatialAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bnhd", attn, v).reshape(bw, n, c)
         return Linear(c, use_bias=True, name="proj")(out)
+
+
+class SpatialAttentionNHWC(nn.Module):
+    """Fused LayerNorm + Swin window MSA over the NHWC map via the Pallas
+    slab kernel — parameter tree identical to SpatialAttention (so PGSSTB
+    can swap paths without touching checkpoints). Returns the attention
+    output MAP; window partition/reverse never materialize."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
+                 region_map: Optional[Array]) -> Array:
+        from mp_hsir_tpu.ops.pallas_attention import fused_ln_window_attention_nhwc
+
+        c = x_map.shape[-1]
+        ws = self.window_size
+        n = ws * ws
+        wqkv, bqkv = LinearParams(c * 3, c, name="qkv")()
+        table = self.param(
+            "relative_position_bias_table", trunc_normal_init(0.02),
+            ((2 * ws - 1) ** 2, self.num_heads),
+        )
+        idx = _relative_position_index(ws)
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        wp, bp = LinearParams(c, c, name="proj")()
+        return fused_ln_window_attention_nhwc(
+            x_map, ln_w, ln_b, wqkv.astype(x_map.dtype), bqkv.astype(jnp.float32),
+            bias.astype(jnp.float32), wp.astype(x_map.dtype), bp.astype(jnp.float32),
+            region_map, self.num_heads,
+        )
 
 
 def _relative_position_index(ws: int) -> np.ndarray:
@@ -699,44 +761,64 @@ class PGSSTB(nn.Module):
         assert h % ws == 0, "sharded rows must be a multiple of the window size"
 
         shortcut = x
-        xn = LayerNorm(self.dim, name="norm1")(x)
+        fused = self.use_pallas and ws == 8 and w % 16 == 0
 
-        if shift > 0:
-            xn = roll_hw(xn, -shift, -shift, self.axis_name)
-        windows = window_partition(xn, ws)  # (B*nW_local, ws*ws, C)
-
-        labels = None
-        if shift > 0:
-            if self.use_pallas:
-                mask = None
-                labels = jnp.asarray(shifted_window_labels(gh, w, ws, shift))
+        if fused:
+            # NHWC fused path: LN + window MSA inside one Pallas slab kernel
+            # (no window tensors materialize — the (nW, 64, C) formulation
+            # poisoned whole-program XLA layout assignment); the PG gate is
+            # computed from 8x8 block means and broadcast back on the map.
+            ln_w, ln_b = LayerNormParams(self.dim, name="norm1")()
+            region = None
+            if shift > 0:
+                region = jnp.asarray(shifted_region_map(gh, w, ws, shift))
                 if n_sp > 1:
-                    nw_local = (h // ws) * (w // ws)
-                    start = jax.lax.axis_index(self.axis_name) * nw_local
-                    labels = jax.lax.dynamic_slice_in_dim(labels, start, nw_local, axis=0)
-            else:
+                    start = jax.lax.axis_index(self.axis_name) * h
+                    region = jax.lax.dynamic_slice_in_dim(region, start, h, axis=0)
+            xr = roll_hw(x, -shift, -shift, self.axis_name) if shift > 0 else x
+            sa_map = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
+                xr, ln_w, ln_b, region
+            )
+            pooled = jnp.mean(
+                sa_map.reshape(b, h // ws, ws, w // ws, ws, c), axis=(2, 4)
+            )  # (B, H/ws, W/ws, C) per-window descriptors
+            gate = PGSpectralAttention(
+                self.dim, self.compress_ratio, self.prompt_len, self.use_bias,
+                name="local_spectral_attn",
+            )(pooled=pooled.reshape(b, -1, c)).reshape(b, h // ws, w // ws, c)
+            gate = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
+            x1 = sa_map * gate
+            x2 = sa_map
+            if shift > 0:
+                x1 = roll_hw(x1, shift, shift, self.axis_name)
+                x2 = roll_hw(x2, shift, shift, self.axis_name)
+        else:
+            xn = LayerNorm(self.dim, name="norm1")(x)
+            if shift > 0:
+                xn = roll_hw(xn, -shift, -shift, self.axis_name)
+            windows = window_partition(xn, ws)  # (B*nW_local, ws*ws, C)
+
+            if shift > 0:
                 mask = jnp.asarray(shifted_window_mask(gh, w, ws, shift))
                 if n_sp > 1:
                     # this shard owns a contiguous block of global window rows
                     nw_local = (h // ws) * (w // ws)
                     start = jax.lax.axis_index(self.axis_name) * nw_local
                     mask = jax.lax.dynamic_slice_in_dim(mask, start, nw_local, axis=0)
-        else:
-            mask = None
-        sa = SpatialAttention(self.dim, ws, self.num_heads, self.use_pallas, name="attn")(
-            windows, mask, shift_labels=labels
-        )
+            else:
+                mask = None
+            sa = SpatialAttention(self.dim, ws, self.num_heads, name="attn")(windows, mask)
 
-        # branch (a): prompt-guided local spectral gate on window tokens
-        x1 = PGSpectralAttention(self.dim, self.compress_ratio, self.prompt_len, self.use_bias, name="local_spectral_attn")(sa)
-        x1 = window_reverse(x1, ws, h, w)
-        if shift > 0:
-            x1 = roll_hw(x1, shift, shift, self.axis_name)
+            # branch (a): prompt-guided local spectral gate on window tokens
+            x1 = PGSpectralAttention(self.dim, self.compress_ratio, self.prompt_len, self.use_bias, name="local_spectral_attn")(sa)
+            x1 = window_reverse(x1, ws, h, w)
+            if shift > 0:
+                x1 = roll_hw(x1, shift, shift, self.axis_name)
 
-        # branch (b): global spectral attention on the un-windowed map
-        x2 = window_reverse(sa, ws, h, w)
-        if shift > 0:
-            x2 = roll_hw(x2, shift, shift, self.axis_name)
+            # branch (b): global spectral attention on the un-windowed map
+            x2 = window_reverse(sa, ws, h, w)
+            if shift > 0:
+                x2 = roll_hw(x2, shift, shift, self.axis_name)
         x2 = SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
                                self.spectral_axis, name="gobal_spectral_attn")(x2)
 

@@ -110,6 +110,156 @@ def _kernel_unmasked(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_re
             num_heads=num_heads, n_tok=n_tok, has_mask=False)
 
 
+# ---------------------------------------------------------------------------
+# NHWC slab kernel: LN + window MSA fused, no window tensors outside
+# ---------------------------------------------------------------------------
+
+
+def segment_bias(rel_bias: Array) -> Array:
+    """(nH, 64, 64) window rel-pos bias -> (nH*128, 128) bias over a
+    128-token SEGMENT (8 rows x 16 cols = two side-by-side 8x8 windows in
+    slab order, token idx = r*16 + col). Cross-window entries carry
+    meaningless values — the kernel masks them to -inf."""
+    nh, n, _ = rel_bias.shape
+    idx = np.arange(128)
+    r, c = idx // 16, idx % 16
+    pos = r * 8 + (c % 8)  # position inside own window
+    return rel_bias[:, pos[:, None], pos[None, :]].reshape(nh * 128, 128)
+
+
+def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
+                 wp_ref, bp_ref, out_ref, *, num_heads, eps, has_mask,
+                 lab_ref=None):
+    """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
+
+    The slab is processed as W/16 independent 128-token segments (two
+    adjacent 8x8 windows in slab order): per segment — f32 LayerNorm,
+    fused qkv projection, per-head 128x128 attention (bias from
+    segment_bias, cross-window -inf via iota), f32 softmax, value dot,
+    output projection — everything in VMEM registers. Because both the
+    input and output are plain NHWC blocks, XLA keeps its preferred layouts
+    for the surrounding program (the (nW, 64, C) window-token formulation
+    provably poisoned whole-program layout assignment: standalone LN
+    reductions at 512^2 went from ~0.2 to ~4 ms each)."""
+    _, ws8, w, c = x_ref.shape
+    dh = c // num_heads
+    seg_w = 16
+    n_seg = w // seg_w
+    dt = x_ref.dtype
+    scale = dh ** -0.5
+
+    colr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) % seg_w
+    colc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) % seg_w
+    off_base = (colr // 8) != (colc // 8)
+
+    lnw = lnw_ref[:].astype(jnp.float32)
+    lnb = lnb_ref[:].astype(jnp.float32)
+    bqkv = bqkv_ref[:]
+    bp = bp_ref[:]
+
+    def seg(p, _):
+        xseg = x_ref[0, :, pl.ds(p * seg_w, seg_w), :].reshape(128, c)
+        xf = xseg.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=1, keepdims=True)
+        xn = (xc * jax.lax.rsqrt(var + eps) * lnw + lnb).astype(dt)
+        qkv = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv).astype(dt)
+
+        off = off_base
+        if has_mask:
+            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, 16) int32
+            lab_r = lab.reshape(128, 1)
+            off = off | (lab_r != lab_r.reshape(1, 128))
+
+        outs = []
+        for h in range(num_heads):
+            q = qkv[:, h * dh : (h + 1) * dh]
+            k = qkv[:, c + h * dh : c + (h + 1) * dh]
+            v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
+            attn = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            attn = attn + bias_ref[h * 128 : (h + 1) * 128, :]
+            attn = jnp.where(off, -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1)
+            outs.append(
+                jnp.dot(attn.astype(dt), v, preferred_element_type=jnp.float32).astype(dt)
+            )
+        o = jnp.concatenate(outs, axis=1)
+        y = jnp.dot(o, wp_ref[:], preferred_element_type=jnp.float32) + bp
+        out_ref[0, :, pl.ds(p * seg_w, seg_w), :] = y.reshape(ws8, seg_w, c).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_seg, seg, 0)
+
+
+def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
+                 num_heads=num_heads, eps=eps, has_mask=True, lab_ref=lab)
+
+
+def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
+                 num_heads=num_heads, eps=eps, has_mask=False)
+
+
+def fused_ln_window_attention_nhwc(
+    x: Array,               # (B, H, W, C) NHWC map (already cyclically rolled)
+    ln_w: Array,            # (C,) LayerNorm weight
+    ln_b: Array,            # (C,) LayerNorm bias
+    wqkv: Array,            # (C, 3C)
+    bqkv: Array,            # (3C,) f32
+    rel_bias: Array,        # (nH, 64, 64) gathered rel-pos bias
+    wp: Array,              # (C, C)
+    bp: Array,              # (C,) f32
+    region_map: Optional[Array],  # (H, W) int32 shift-region labels or None
+    num_heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """LayerNorm + 8x8 window MSA fused over NHWC slabs (window size 8).
+    Returns the attention output MAP (B, H, W, C) — the window_reverse is
+    implicit. W must be a multiple of 16 (two windows per 128-token
+    segment); H a multiple of 8."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0 and w % 16 == 0, (h, w)
+    grid = (b, h // 8)
+    bias2d = segment_bias(rel_bias)
+
+    common = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+    ]
+    xspec = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+    tail = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
+    ]
+    if region_map is not None:
+        lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
+        lspec = pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+        kern = functools.partial(_nhwc_kernel_masked, num_heads=num_heads, eps=eps)
+        in_specs = [xspec] + common + [lspec] + tail
+        args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
+    else:
+        kern = functools.partial(_nhwc_kernel_unmasked, num_heads=num_heads, eps=eps)
+        in_specs = [xspec] + common + tail
+        args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(*args)
+
+
 def fused_window_attention(
     windows: Array,        # (NW, N, C) window tokens
     wqkv: Array,           # (C, 3C)

@@ -55,6 +55,20 @@ def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=64)
+def shifted_region_map(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """(H, W) int32 Swin shift-region labels in ROLLED coordinates: two
+    tokens of a window may attend iff labels match. The raw map behind
+    shifted_window_labels; consumed directly by the NHWC fused kernel."""
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
+        for vs in (slice(0, w - ws), slice(w - ws, w - shift), slice(w - shift, w)):
+            img[hs, vs] = cnt
+            cnt += 1
+    return img
+
+
+@lru_cache(maxsize=64)
 def shifted_window_labels(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """(nW, ws*ws) int32 region labels per window token: two tokens of a
     window may attend each other iff their labels match — the compact

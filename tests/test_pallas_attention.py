@@ -73,3 +73,36 @@ def test_module_pallas_flag_matches_plain():
     finally:
         PA.fused_window_attention = orig
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_nhwc_fused_matches_pgsstb_plain(shifted):
+    """The fused NHWC slab path (LN + window MSA in-kernel, PG gate on
+    pooled maps) must reproduce the plain-jnp PGSSTB bit-for-bit-ish."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 32, dim)).astype(np.float32))
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                   shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                   compress_ratio=8, prompt_len=16, input_resolution=(64, 64))
+    params = plain.init(jax.random.key(2), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    orig = PA.fused_ln_window_attention_nhwc
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    PA.fused_ln_window_attention_nhwc = interp
+    try:
+        fused = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                       shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                       compress_ratio=8, prompt_len=16,
+                       input_resolution=(64, 64), use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        PA.fused_ln_window_attention_nhwc = orig
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
