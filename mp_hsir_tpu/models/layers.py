@@ -255,6 +255,7 @@ class SpectralAttention(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     spectral_axis: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -273,6 +274,12 @@ class SpectralAttention(nn.Module):
                               in_features=c * 3, name="qkv_dwconv")()
         temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
         wout, bout = ConvParams(c, 1, use_bias=self.use_bias, in_features=c, name="project_out")()
+
+        if (self.use_pallas and not self.use_bias and not use_tp
+                and self.axis_name is None and h % 8 == 0):
+            from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
+
+            return fused_spectral_attention_nhwc(x, wqkv, wdw, temp, wout, self.num_heads)
 
         if use_tp:
             heads = self.num_heads // n_sp
@@ -576,11 +583,12 @@ class TransformerBlock(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     spectral_axis: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
-                                  self.spectral_axis, name="attn")(
+                                  self.spectral_axis, self.use_pallas, name="attn")(
             RestormerLayerNorm(self.dim, name="norm1")(x)
         )
         return x + GDFN(self.dim, self.expansion, self.use_bias, self.axis_name, name="ffn")(
@@ -705,12 +713,14 @@ class PromptFusion(nn.Module):
     use_bias: bool = False
     axis_name: Optional[str] = None
     spectral_axis: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, prompt: Array) -> Array:
         out = jnp.concatenate([x, prompt], axis=-1)
         out = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias,
-                               self.axis_name, self.spectral_axis, name="transformer")(out)
+                               self.axis_name, self.spectral_axis, self.use_pallas,
+                               name="transformer")(out)
         return Conv2d(self.out_dim, 1, use_bias=self.use_bias, name="conv")(out)
 
 
@@ -820,7 +830,8 @@ class PGSSTB(nn.Module):
             if shift > 0:
                 x2 = roll_hw(x2, shift, shift, self.axis_name)
         x2 = SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
-                               self.spectral_axis, name="gobal_spectral_attn")(x2)
+                               self.spectral_axis, self.use_pallas,
+                               name="gobal_spectral_attn")(x2)
 
         y = x1 + x2
         dp = DropPath(self.drop_path, name="drop_path")

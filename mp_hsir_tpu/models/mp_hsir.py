@@ -78,7 +78,8 @@ class MPHSIRNet(nn.Module):
             enc2, clip_prompt, prompt_weights
         )
         enc2f = L.PromptFusion(dim * 4, dim * 2, num_heads=8, use_bias=cfg.bias, axis_name=ax,
-                               spectral_axis=cfg.spectral_axis, name="fusion2")(enc2, p2)
+                               spectral_axis=cfg.spectral_axis,
+                               use_pallas=cfg.use_pallas_attention, name="fusion2")(enc2, p2)
         d2 = jnp.concatenate([d2, enc2f], axis=-1)
         d2 = L.Conv2d(dim * 2, 1, use_bias=cfg.bias, name="reduce_chan_level2")(d2)
         dec2 = base_block("decoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(d2, deterministic)
@@ -89,7 +90,8 @@ class MPHSIRNet(nn.Module):
             enc1, clip_prompt, prompt_weights
         )
         enc1f = L.PromptFusion(dim * 2, dim, num_heads=4, use_bias=cfg.bias, axis_name=ax,
-                               spectral_axis=cfg.spectral_axis, name="fusion1")(enc1, p1)
+                               spectral_axis=cfg.spectral_axis,
+                               use_pallas=cfg.use_pallas_attention, name="fusion1")(enc1, p1)
         d1 = jnp.concatenate([d1, enc1f], axis=-1)
         dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(d1, deterministic)
         ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp2, 0)(dec1, deterministic)

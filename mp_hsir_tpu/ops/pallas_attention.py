@@ -260,6 +260,145 @@ def fused_ln_window_attention_nhwc(
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# NHWC fused spectral (C x C transposed) attention — two-phase slab kernel
+# ---------------------------------------------------------------------------
+
+
+def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
+                     out_ref, gram_ref, nq_ref, nk_ref, comb_ref, *,
+                     num_heads, n_slab):
+    """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
+    qkv = dwconv3x3(conv1x1(x)) on the fly (halo rows via the clamped
+    x_top/x_bot single-row blocks, zero-masked at the image edges) and
+    accumulating the C x C Gram matrix and the global q/k L2 norms in VMEM
+    scratch. At the phase boundary the (dh x dh per head) attention is
+    normalized, tempered, softmaxed and pre-multiplied with the output
+    projection into `comb`. Phase 1 streams the slabs again, computes only
+    the v third, and writes out = v @ comb — one dense dot per slab.
+
+    HBM traffic: 2 reads of x + 1 write of out (the unfused chain writes/
+    reads qkv (3C wide) twice plus split copies — ~4x more)."""
+    b = pl.program_id(0)
+    phase = pl.program_id(1)
+    i = pl.program_id(2)
+    _, ws8, w, c = x_mid.shape
+    dh = c // num_heads
+    dt = x_mid.dtype
+
+    def qkv_slab(lane_lo, lane_hi):
+        """dwconv3x3(conv1x1(x))[:, lane_lo:lane_hi] for the slab's 8 rows."""
+        top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+        bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+        x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+        wq = wqkv_ref[:, lane_lo:lane_hi]
+        t = jnp.dot(x10.reshape(10 * w, c), wq, preferred_element_type=jnp.float32)
+        t = t.astype(dt).reshape(10, w, lane_hi - lane_lo)
+        tp = jnp.pad(t, ((0, 0), (1, 1), (0, 0)))
+        acc = jnp.zeros((ws8, w, lane_hi - lane_lo), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                wtap = wdw_ref[dr * 3 + dc, lane_lo:lane_hi].astype(jnp.float32)
+                acc = acc + tp[dr : dr + ws8, dc : dc + w, :].astype(jnp.float32) * wtap
+        return acc.astype(dt).reshape(ws8 * w, lane_hi - lane_lo)
+
+    @pl.when(jnp.logical_and(phase == 0, i == 0))
+    def _():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        nq_ref[:] = jnp.zeros_like(nq_ref)
+        nk_ref[:] = jnp.zeros_like(nk_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        qk = qkv_slab(0, 2 * c)  # (8W, 2C)
+        q = qk[:, :c]
+        k = qk[:, c:]
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = k[:, h * dh : (h + 1) * dh]
+            g = jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )  # (dh, dh)
+            gram_ref[h * dh : (h + 1) * dh, :] += g
+            nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+            nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+
+    @pl.when(jnp.logical_and(phase == 1, i == 0))
+    def _():
+        for h in range(num_heads):
+            g = gram_ref[h * dh : (h + 1) * dh, :]
+            nq = jnp.maximum(jnp.sqrt(nq_ref[h, :]), 1e-12)
+            nk = jnp.maximum(jnp.sqrt(nk_ref[h, :]), 1e-12)
+            attn = g / (nq[:, None] * nk[None, :]) * temp_ref[0, h]
+            attn = jax.nn.softmax(attn, axis=-1)  # (d, e), softmax over e
+            wr = wout_ref[h * dh : (h + 1) * dh, :]  # (d, C)
+            # comb[e, o] = sum_d attn[d, e] * wr[d, o]  (out rows are v's
+            # (h, e) lanes, so contract over the query-channel axis d)
+            comb_ref[h * dh : (h + 1) * dh, :] = jax.lax.dot_general(
+                attn, wr.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(phase == 1)
+    def _():
+        v = qkv_slab(2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
+        y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
+        out_ref[0] = y.reshape(ws8, w, c).astype(out_ref.dtype)
+
+
+def fused_spectral_attention_nhwc(
+    x: Array,            # (B, H, W, C)
+    wqkv: Array,         # (1, 1, C, 3C) 1x1 conv weight (HWIO)
+    wdw: Array,          # (3, 3, 1, 3C) depthwise conv weight
+    temperature: Array,  # (nH, 1, 1)
+    wout: Array,         # (1, 1, C, C) output 1x1 conv weight
+    num_heads: int,
+    interpret: bool = False,
+) -> Array:
+    """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel.
+    Bias-free variant (both presets use bias=False); unsharded only —
+    callers with mesh axes fall back to the jnp path."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0, h
+    n_slab = h // 8
+    grid = (b, 2, n_slab)
+    dt = x.dtype
+    wqkv2d = wqkv.reshape(c, 3 * c).astype(dt)
+    wdw2d = wdw.reshape(9, 3 * c).astype(dt)
+    wout2d = wout.reshape(c, c).astype(dt)
+    temp2d = temperature.reshape(1, num_heads).astype(jnp.float32)
+
+    def top_map(bi, p, i):
+        return (bi, jnp.maximum(8 * i - 1, 0), 0, 0)
+
+    def bot_map(bi, p, i):
+        return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
+
+    kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+        ],
+        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, c // num_heads), jnp.float32),   # gram (heads stacked)
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nq
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nk
+            pltpu.VMEM((c, c), jnp.float32),                # comb
+        ],
+        interpret=interpret,
+    )(x, x, x, wqkv2d, wdw2d, temp2d, wout2d)
+
+
 def fused_window_attention(
     windows: Array,        # (NW, N, C) window tokens
     wqkv: Array,           # (C, 3C)

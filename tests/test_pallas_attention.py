@@ -90,13 +90,19 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted):
     params = plain.init(jax.random.key(2), x)["params"]
     want = np.asarray(plain.apply({"params": params}, x))
 
-    orig = PA.fused_ln_window_attention_nhwc
+    orig_w = PA.fused_ln_window_attention_nhwc
+    orig_s = PA.fused_spectral_attention_nhwc
 
-    def interp(*args, **kw):
+    def interp_w(*args, **kw):
         kw["interpret"] = True
-        return orig(*args, **kw)
+        return orig_w(*args, **kw)
 
-    PA.fused_ln_window_attention_nhwc = interp
+    def interp_s(*args, **kw):
+        kw["interpret"] = True
+        return orig_s(*args, **kw)
+
+    PA.fused_ln_window_attention_nhwc = interp_w
+    PA.fused_spectral_attention_nhwc = interp_s
     try:
         fused = PGSSTB(dim=dim, num_heads=heads, window_size=8,
                        shift_size=4 if shifted else 0, mlp_ratio=2.0,
@@ -104,5 +110,55 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted):
                        input_resolution=(64, 64), use_pallas=True)
         got = np.asarray(fused.apply({"params": params}, x))
     finally:
-        PA.fused_ln_window_attention_nhwc = orig
+        PA.fused_ln_window_attention_nhwc = orig_w
+        PA.fused_spectral_attention_nhwc = orig_s
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_spectral_matches_module():
+    """Two-phase fused spectral attention kernel == jnp SpectralAttention
+    (interpret mode; exercises the in-kernel dwconv halos and the global
+    Gram/norm accumulation across slabs)."""
+    from mp_hsir_tpu.models.layers import SpectralAttention
+    from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((2, 24, 8, dim)).astype(np.float32))
+    mod = SpectralAttention(dim, heads)
+    params = mod.init(jax.random.key(3), x)["params"]
+    want = np.asarray(mod.apply({"params": params}, x))
+    got = np.asarray(fused_spectral_attention_nhwc(
+        x,
+        jnp.asarray(params["qkv"]["weight"]),
+        jnp.asarray(params["qkv_dwconv"]["weight"]),
+        jnp.asarray(params["temperature"]),
+        jnp.asarray(params["project_out"]["weight"]),
+        heads,
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_spectral_module_pallas_flag_matches_plain():
+    from mp_hsir_tpu.models.layers import SpectralAttention
+    import mp_hsir_tpu.ops.pallas_attention as PA
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    plain = SpectralAttention(dim, heads)
+    params = plain.init(jax.random.key(4), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    orig = PA.fused_spectral_attention_nhwc
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    PA.fused_spectral_attention_nhwc = interp
+    try:
+        fused = SpectralAttention(dim, heads, use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        PA.fused_spectral_attention_nhwc = orig
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
