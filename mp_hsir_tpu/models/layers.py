@@ -196,6 +196,22 @@ class GatedMlp(nn.Module):
         return Linear(self.dim, name="fc2")(x_fc * gelu_exact(x_gate))
 
 
+class GatedMlpFusedNHWC(nn.Module):
+    """LayerNorm + GatedMlp fused via the Pallas NHWC tile kernel —
+    parameter tree identical to GatedMlp (fc1/fc2), LN params passed in."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
+        from mp_hsir_tpu.ops.pallas_attention import fused_ln_gated_mlp_nhwc
+
+        w1, b1 = LinearParams(self.hidden * 2, self.dim, name="fc1")()
+        w2, b2 = LinearParams(self.dim, self.hidden, name="fc2")()
+        return fused_ln_gated_mlp_nhwc(x_map, ln_w, ln_b, w1, b1, w2, b2)
+
+
 class GDFN(nn.Module):
     """Gated-DConv feed-forward network (Restormer GDFN; reference
     net/MP_HSIR.py:374-391 / FFN at :251-265). NHWC in/out."""
@@ -836,9 +852,14 @@ class PGSSTB(nn.Module):
         y = x1 + x2
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(y, deterministic)
-        mlp_out = GatedMlp(self.dim, int(self.dim * self.mlp_ratio), name="mlp")(
-            LayerNorm(self.dim, name="norm2")(x)
-        )
+        hidden = int(self.dim * self.mlp_ratio)
+        if fused:
+            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
+            mlp_out = GatedMlpFusedNHWC(self.dim, hidden, name="mlp")(x, lnw2, lnb2)
+        else:
+            mlp_out = GatedMlp(self.dim, hidden, name="mlp")(
+                LayerNorm(self.dim, name="norm2")(x)
+            )
         return x + dp(mlp_out, deterministic)
 
 

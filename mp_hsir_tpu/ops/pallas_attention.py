@@ -128,8 +128,8 @@ def segment_bias(rel_bias: Array) -> Array:
 
 
 def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
-                 wp_ref, bp_ref, out_ref, *, num_heads, eps, has_mask,
-                 lab_ref=None):
+                 wp_ref, bp_ref, out_ref, qkv_ref, o_ref, *, num_heads, eps,
+                 has_mask, lab_ref=None):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
     The slab is processed as W/16 independent 128-token segments (two
@@ -152,20 +152,19 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     colc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) % seg_w
     off_base = (colr // 8) != (colc // 8)
 
-    lnw = lnw_ref[:].astype(jnp.float32)
-    lnb = lnb_ref[:].astype(jnp.float32)
-    bqkv = bqkv_ref[:]
-    bp = bp_ref[:]
+    # slab-wide LN + qkv projection: one big MXU dot instead of n_seg small
+    # ones (token order is row-major over the slab; segments slice columns)
+    xf = x_ref[0].reshape(ws8 * w, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+                  + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
 
     def seg(p, _):
-        xseg = x_ref[0, :, pl.ds(p * seg_w, seg_w), :].reshape(128, c)
-        xf = xseg.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=1, keepdims=True)
-        xc = xf - mu
-        var = jnp.mean(xc * xc, axis=1, keepdims=True)
-        xn = (xc * jax.lax.rsqrt(var + eps) * lnw + lnb).astype(dt)
-        qkv = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv).astype(dt)
-
+        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(128, 3 * c)
         off = off_base
         if has_mask:
             lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, 16) int32
@@ -186,22 +185,26 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             outs.append(
                 jnp.dot(attn.astype(dt), v, preferred_element_type=jnp.float32).astype(dt)
             )
-        o = jnp.concatenate(outs, axis=1)
-        y = jnp.dot(o, wp_ref[:], preferred_element_type=jnp.float32) + bp
-        out_ref[0, :, pl.ds(p * seg_w, seg_w), :] = y.reshape(ws8, seg_w, c).astype(out_ref.dtype)
+        o_ref[:, pl.ds(p * seg_w, seg_w), :] = jnp.concatenate(outs, axis=1).reshape(ws8, seg_w, c)
         return 0
 
     jax.lax.fori_loop(0, n_seg, seg, 0)
+    # slab-wide output projection
+    y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
+                preferred_element_type=jnp.float32) + bp_ref[:]
+    out_ref[0] = y.reshape(ws8, w, c).astype(out_ref.dtype)
 
 
-def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref, *, num_heads, eps):
-    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
-                 num_heads=num_heads, eps=eps, has_mask=True, lab_ref=lab)
+def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
+                        qkv_scr, o_scr, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, qkv_scr,
+                 o_scr, num_heads=num_heads, eps=eps, has_mask=True, lab_ref=lab)
 
 
-def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, *, num_heads, eps):
-    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
-                 num_heads=num_heads, eps=eps, has_mask=False)
+def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
+                          qkv_scr, o_scr, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, qkv_scr,
+                 o_scr, num_heads=num_heads, eps=eps, has_mask=False)
 
 
 def fused_ln_window_attention_nhwc(
@@ -256,8 +259,85 @@ def fused_ln_window_attention_nhwc(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((8, w, 3 * c), x.dtype),  # slab qkv
+            pltpu.VMEM((8, w, c), x.dtype),      # pre-projection attention out
+        ],
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# NHWC fused LayerNorm + GatedMlp (token MLP) kernel
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7) — Mosaic
+    has no erf primitive; exp it has."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                out_ref, *, hidden, eps):
+    _, r8, bw, c = x_ref.shape
+    dt = x_ref.dtype
+    x = x_ref[0].reshape(r8 * bw, c)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    a = h[:, :hidden]
+    g = h[:, hidden:]
+    # erf GELU in f32 (matches ops/basic.gelu_exact to ~1e-7)
+    gated = a * (0.5 * g * (1.0 + _erf(g / np.sqrt(2.0))))
+    y = jnp.dot(gated.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    out_ref[0] = y.reshape(r8, bw, c).astype(out_ref.dtype)
+
+
+def fused_ln_gated_mlp_nhwc(
+    x: Array,       # (B, H, W, C)
+    ln_w: Array, ln_b: Array,       # (C,)
+    w1: Array, b1: Array,           # (C, 2*hidden), (2*hidden,)
+    w2: Array, b2: Array,           # (hidden, C), (C,)
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
+    over NHWC tiles: the (T, 2*hidden) intermediate never touches HBM (the
+    unfused chain writes/reads it — 2*2.66x the map size). Residual add
+    stays outside."""
+    b, h, w, c = x.shape
+    hidden = w2.shape[0]
+    bw = min(w, 128)
+    assert h % 8 == 0 and w % bw == 0, (h, w)
+    grid = (b, h // 8, w // bw)
+    kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps)
+    dt = x.dtype
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(x, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

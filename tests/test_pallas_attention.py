@@ -90,19 +90,19 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted):
     params = plain.init(jax.random.key(2), x)["params"]
     want = np.asarray(plain.apply({"params": params}, x))
 
-    orig_w = PA.fused_ln_window_attention_nhwc
-    orig_s = PA.fused_spectral_attention_nhwc
+    names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+             "fused_ln_gated_mlp_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
 
-    def interp_w(*args, **kw):
-        kw["interpret"] = True
-        return orig_w(*args, **kw)
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
 
-    def interp_s(*args, **kw):
-        kw["interpret"] = True
-        return orig_s(*args, **kw)
+        return interp
 
-    PA.fused_ln_window_attention_nhwc = interp_w
-    PA.fused_spectral_attention_nhwc = interp_s
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
     try:
         fused = PGSSTB(dim=dim, num_heads=heads, window_size=8,
                        shift_size=4 if shifted else 0, mlp_ratio=2.0,
@@ -110,8 +110,8 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted):
                        input_resolution=(64, 64), use_pallas=True)
         got = np.asarray(fused.apply({"params": params}, x))
     finally:
-        PA.fused_ln_window_attention_nhwc = orig_w
-        PA.fused_spectral_attention_nhwc = orig_s
+        for n in names:
+            setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
 
 
