@@ -84,6 +84,9 @@ def make_train_step(
         mc,
         spatial_axis=SPATIAL_AXIS,
         spectral_axis=SPECTRAL_AXIS if SPECTRAL_AXIS in mesh.axis_names else None,
+        # the fused Pallas kernels are inference-only (no custom VJPs);
+        # training always takes the differentiable jnp path
+        use_pallas_attention=False,
     )
     model = MPHSIRNet(model_cfg)
 
