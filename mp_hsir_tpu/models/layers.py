@@ -196,6 +196,26 @@ class GatedMlp(nn.Module):
         return Linear(self.dim, name="fc2")(x_fc * gelu_exact(x_gate))
 
 
+class GDFNFusedNHWC(nn.Module):
+    """RestormerLayerNorm + GDFN fused via the Pallas halo-slab kernel —
+    parameter tree identical to GDFN (project_in/dwconv/project_out),
+    LN params passed in. Bias-free."""
+
+    dim: int
+    expansion: float
+
+    @nn.compact
+    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
+        from mp_hsir_tpu.ops.pallas_attention import fused_ln_gdfn_nhwc
+
+        hidden = int(self.dim * self.expansion)
+        w_in, _ = ConvParams(hidden * 2, 1, use_bias=False, in_features=self.dim, name="project_in")()
+        w_dw, _ = ConvParams(hidden * 2, 3, groups=hidden * 2, use_bias=False,
+                             in_features=hidden * 2, name="dwconv")()
+        w_out, _ = ConvParams(self.dim, 1, use_bias=False, in_features=hidden, name="project_out")()
+        return fused_ln_gdfn_nhwc(x_map, ln_w, ln_b, w_in, w_dw, w_out)
+
+
 class GatedMlpFusedNHWC(nn.Module):
     """LayerNorm + GatedMlp fused via the Pallas NHWC tile kernel —
     parameter tree identical to GatedMlp (fc1/fc2), LN params passed in."""
@@ -607,6 +627,10 @@ class TransformerBlock(nn.Module):
                                   self.spectral_axis, self.use_pallas, name="attn")(
             RestormerLayerNorm(self.dim, name="norm1")(x)
         )
+        if (self.use_pallas and not self.use_bias and self.axis_name is None
+                and x.shape[1] % 8 == 0):
+            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
+            return x + GDFNFusedNHWC(self.dim, self.expansion, name="ffn")(x, lnw2, lnb2)
         return x + GDFN(self.dim, self.expansion, self.use_bias, self.axis_name, name="ffn")(
             RestormerLayerNorm(self.dim, name="norm2")(x)
         )

@@ -341,6 +341,99 @@ def fused_ln_gated_mlp_nhwc(
 
 
 # ---------------------------------------------------------------------------
+# NHWC fused LayerNorm + GDFN (gated-dconv FFN) kernel
+# ---------------------------------------------------------------------------
+
+
+def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
+                 wout_ref, out_ref, xn_ref, *, hidden, eps, n_slab, cw):
+    """Grid (B, H/8): LN -> 1x1 project_in (2*hidden) -> 3x3 depthwise
+    (halo rows from the clamped side blocks) -> erf-gelu gate -> 1x1
+    project_out, all in VMEM. The 2*hidden-wide intermediate (5.3x the map)
+    never touches HBM."""
+    i = pl.program_id(1)
+    _, ws8, w, c = x_mid.shape
+    dt = x_mid.dtype
+    n_chunk = w // cw
+
+    top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+    bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+    x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+    xf = x10.reshape(10 * w, c).astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    # zero-padded columns (scratch ref) so every chunk carries its +-1 halo
+    xn_ref[:] = jnp.pad(xn.reshape(10, w, c), ((0, 0), (1, 1), (0, 0)))
+
+    def chunk(j, _):
+        xs = xn_ref[:, pl.ds(j * cw, cw + 2), :].reshape(10 * (cw + 2), c)
+        t = jnp.dot(xs, win_ref[:], preferred_element_type=jnp.float32)
+        t = t.astype(dt).reshape(10, cw + 2, 2 * hidden)
+        acc = jnp.zeros((ws8, cw, 2 * hidden), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+                acc = acc + t[dr : dr + ws8, dc : dc + cw, :].astype(jnp.float32) * wtap
+        a = acc[:, :, :hidden]
+        g = acc[:, :, hidden:]
+        gated = ((0.5 * a * (1.0 + _erf(a / np.sqrt(2.0)))) * g).astype(dt)
+        y = jnp.dot(gated.reshape(ws8 * cw, hidden), wout_ref[:],
+                    preferred_element_type=jnp.float32)
+        out_ref[0, :, pl.ds(j * cw, cw), :] = y.reshape(ws8, cw, c).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunk, chunk, 0)
+
+
+def fused_ln_gdfn_nhwc(
+    x: Array,                 # (B, H, W, C)
+    ln_w: Array, ln_b: Array,  # (C,)
+    w_in: Array,              # (1, 1, C, 2*hidden) project_in
+    w_dw: Array,              # (3, 3, 1, 2*hidden) depthwise
+    w_out: Array,             # (1, 1, hidden, C) project_out
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """RestormerLayerNorm + GDFN fused over NHWC slabs (bias-free variant —
+    both presets use bias=False). Residual add stays outside. NOTE: GDFN
+    gates as gelu(x1) * x2 where (x1, x2) = chunk2 (reference
+    net/MP_HSIR.py:389)."""
+    b, h, w, c = x.shape
+    hidden = w_out.shape[2]
+    # column chunk sized so the (10, cw+2, 2*hidden) f32 live set stays well
+    # under the ~16MB scoped-VMEM limit
+    cw = min(w, 128 if 2 * hidden <= 768 else 64)
+    assert h % 8 == 0 and w % cw == 0, (h, w)
+    grid = (b, h // 8)
+    dt = x.dtype
+    kern = functools.partial(_gdfn_kernel, hidden=hidden, eps=eps, n_slab=h // 8, cw=cw)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((10, w + 2, c), dt)],
+        interpret=interpret,
+    )(x, x, x, ln_w, ln_b,
+      w_in.reshape(c, 2 * hidden).astype(dt),
+      w_dw.reshape(9, 2 * hidden).astype(dt),
+      w_out.reshape(hidden, c).astype(dt))
+
+
+# ---------------------------------------------------------------------------
 # NHWC fused spectral (C x C transposed) attention — two-phase slab kernel
 # ---------------------------------------------------------------------------
 

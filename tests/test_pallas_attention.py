@@ -162,3 +162,35 @@ def test_spectral_module_pallas_flag_matches_plain():
     finally:
         PA.fused_spectral_attention_nhwc = orig
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_transformer_block_matches_plain():
+    """TransformerBlock with the fused spectral + GDFN kernels == plain."""
+    from mp_hsir_tpu.models.layers import TransformerBlock
+    import mp_hsir_tpu.ops.pallas_attention as PA
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    plain = TransformerBlock(dim, heads)
+    params = plain.init(jax.random.key(5), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    names = ["fused_spectral_attention_nhwc", "fused_ln_gdfn_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        fused = TransformerBlock(dim, heads, use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
