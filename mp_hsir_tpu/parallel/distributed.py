@@ -42,7 +42,13 @@ def initialize_distributed(
     process_id = process_id if process_id is not None else (
         int(env_pid) if env_pid else None
     )
-    on_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    # pod auto-detect: TPU_WORKER_HOSTNAMES must look like a real comma-
+    # separated host list (some single-chip images set it to a warning
+    # string), and a single-host list means single-process anyway
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_pod = ("," in hosts and " " not in hosts.strip()) or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    )
     if not coordinator_address and not on_pod:
         return False
     import jax

@@ -131,6 +131,11 @@ def main(argv=None):
             if (epoch + 1) % args.ckpt_every_epochs == 0 or epoch + 1 == args.epochs:
                 path = CKPT.save_checkpoint(args.ckpt_dir, state, int(state.step))
                 print(f"saved checkpoint {path}")
+    # params-only artifact for the eval CLI / distribution (full state_
+    # checkpoints carry opt_state and need the optimizer to restore)
+    final = os.path.join(args.ckpt_dir, "params_final")
+    CKPT.save_params(final, state.params)
+    print(f"saved params-only checkpoint {final}")
     print(f"done in {time.time() - t0:.0f}s")
 
 
