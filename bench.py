@@ -57,8 +57,11 @@ def main() -> None:
         return model.apply({"params": p}, x, t)
 
     h = w = int(os.environ.get("BENCH_SIZE", "256" if rs_mode else "512"))
-    x = jax.random.uniform(jax.random.key(1), (1, cfg.in_channels, h, w), jnp.float32)
-    tid = jnp.zeros((1,), jnp.int32)
+    # BENCH_BATCH>1: serving-style batched throughput (cubes/sec scales with
+    # batch until HBM/compute saturate; the headline metric stays batch 1)
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    x = jax.random.uniform(jax.random.key(1), (batch, cfg.in_channels, h, w), jnp.float32)
+    tid = jnp.zeros((batch,), jnp.int32)
 
     # warmup / compile
     fwd(params, x, tid).block_until_ready()
@@ -73,7 +76,7 @@ def main() -> None:
 
     n_iter = int(os.environ.get("BENCH_ITERS", "10"))
     xs = [
-        jax.random.uniform(jax.random.key(i + 2), (1, cfg.in_channels, h, w), jnp.float32)
+        jax.random.uniform(jax.random.key(i + 2), (batch, cfg.in_channels, h, w), jnp.float32)
         for i in range(n_iter)
     ]
     for xi in xs:
@@ -87,15 +90,15 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     times.sort()
     median = times[len(times) // 2]
-    cubes_per_sec = 1.0 / median
+    cubes_per_sec = batch / median
 
     baseline = REFERENCE_A100_CUBES_PER_SEC
     if rs_mode:
-        metric = f"remote-sensing {h}x{w}x100 restoration throughput (single chip, bf16, batch 1)"
+        metric = f"remote-sensing {h}x{w}x100 restoration throughput (single chip, bf16, batch {batch})"
         # same FLOP-based estimate rescaled: cost ~ pixels * dim^2
         baseline = REFERENCE_A100_CUBES_PER_SEC * (512 * 512 * 64 * 64) / (h * w * 96 * 96)
     else:
-        metric = f"ICVL {h}x{w}x31 restoration throughput (single chip, bf16, batch 1)"
+        metric = f"ICVL {h}x{w}x31 restoration throughput (single chip, bf16, batch {batch})"
         baseline = REFERENCE_A100_CUBES_PER_SEC * (512 * 512) / (h * w)
     print(
         json.dumps(
