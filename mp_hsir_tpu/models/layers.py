@@ -64,7 +64,11 @@ def trunc_normal_init(std: float = 0.02):
 
 
 class Conv2d(nn.Module):
-    """Conv with torch nn.Conv2d init/naming; weight stored HWIO."""
+    """Conv with torch nn.Conv2d init/naming; weight stored HWIO.
+
+    With ``use_pallas`` and an eligible shape (3x3, stride 1, pad 1, no
+    groups/bias/sharding), runs through the fused slab kernel — XLA's NHWC
+    conv at small channel counts measures 10-15x off roofline."""
 
     features: int
     kernel: int = 1
@@ -73,6 +77,7 @@ class Conv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -82,6 +87,12 @@ class Conv2d(nn.Module):
             "weight", _torch_uniform(fan_in), (self.kernel, self.kernel, cin // self.groups, self.features)
         )
         b = self.param("bias", _torch_uniform(fan_in), (self.features,)) if self.use_bias else None
+        if (self.use_pallas and self.kernel == 3 and self.stride == 1
+                and self.padding == 1 and self.groups == 1 and b is None
+                and self.axis_name is None and x.shape[1] % 8 == 0):
+            from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_nhwc
+
+            return fused_conv3x3_nhwc(x, w)
         return conv2d(x, w, b, stride=self.stride, padding=self.padding, groups=self.groups, axis_name=self.axis_name)
 
 
@@ -647,10 +658,12 @@ class Downsample(nn.Module):
 
     n_feat: int
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv2d(self.n_feat // 2, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv")(x)
+        x = Conv2d(self.n_feat // 2, 3, padding=1, use_bias=False, axis_name=self.axis_name,
+                   use_pallas=self.use_pallas, name="conv")(x)
         return pixel_unshuffle(x, 2)
 
 
@@ -660,10 +673,12 @@ class Upsample(nn.Module):
 
     n_feat: int
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv2d(self.n_feat * 2, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv")(x)
+        x = Conv2d(self.n_feat * 2, 3, padding=1, use_bias=False, axis_name=self.axis_name,
+                   use_pallas=self.use_pallas, name="conv")(x)
         return pixel_shuffle(x, 2)
 
 
@@ -671,10 +686,12 @@ class OverlapPatchEmbed(nn.Module):
     embed_dim: int
     use_bias: bool = False
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        return Conv2d(self.embed_dim, 3, padding=1, use_bias=self.use_bias, axis_name=self.axis_name, name="proj")(x)
+        return Conv2d(self.embed_dim, 3, padding=1, use_bias=self.use_bias, axis_name=self.axis_name,
+                      use_pallas=self.use_pallas, name="proj")(x)
 
 
 # ---------------------------------------------------------------------------
@@ -700,6 +717,7 @@ class TVSP(nn.Module):
     out_dim: int
     clip_table: Any = None  # np.ndarray (T, 512), static
     axis_name: Optional[str] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array, clip_prompt: Array, prompt_weights: Array) -> Array:
@@ -739,7 +757,8 @@ class TVSP(nn.Module):
             out = resize_bilinear_row_block(prompts, h * n_sp, w, start, h)
         else:
             out = resize_bilinear(prompts, h, w, align_corners=False)
-        return Conv2d(self.out_dim, 3, padding=1, use_bias=False, axis_name=self.axis_name, name="conv_last")(out)
+        return Conv2d(self.out_dim, 3, padding=1, use_bias=False, axis_name=self.axis_name,
+                      use_pallas=self.use_pallas, name="conv_last")(out)
 
 
 class PromptFusion(nn.Module):

@@ -65,16 +65,17 @@ class MPHSIRNet(nn.Module):
             )
 
         # ---- encoder ----
-        x1 = L.OverlapPatchEmbed(dim, cfg.bias, ax, name="patch_embed")(x)
+        x1 = L.OverlapPatchEmbed(dim, cfg.bias, ax, cfg.use_pallas_attention, name="patch_embed")(x)
         enc1 = base_block("encoder_level1", dim, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(x1, deterministic)
-        x2 = L.Downsample(dim, ax, name="down1_2")(enc1)
+        x2 = L.Downsample(dim, ax, cfg.use_pallas_attention, name="down1_2")(enc1)
         enc2 = base_block("encoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(x2, deterministic)
-        x3 = L.Downsample(dim * 2, ax, name="down2_3")(enc2)
+        x3 = L.Downsample(dim * 2, ax, cfg.use_pallas_attention, name="down2_3")(enc2)
         latent = base_block("latent", dim * 4, nb[2], cfg.heads[2], cfg.window_size[2], cfg.compress_ratios[2], dp3, 2)(x3, deterministic)
 
         # ---- decoder level 2 with TVSP prompt injection ----
-        d2 = L.Upsample(dim * 4, ax, name="up3_2")(latent)
-        p2 = L.TVSP(cfg.task_classes, cfg.prompt_sizes[1], dim * 2, dim * 2, table, ax, name="prompt2")(
+        d2 = L.Upsample(dim * 4, ax, cfg.use_pallas_attention, name="up3_2")(latent)
+        p2 = L.TVSP(cfg.task_classes, cfg.prompt_sizes[1], dim * 2, dim * 2, table, ax,
+                    cfg.use_pallas_attention, name="prompt2")(
             enc2, clip_prompt, prompt_weights
         )
         enc2f = L.PromptFusion(dim * 4, dim * 2, num_heads=8, use_bias=cfg.bias, axis_name=ax,
@@ -85,8 +86,9 @@ class MPHSIRNet(nn.Module):
         dec2 = base_block("decoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(d2, deterministic)
 
         # ---- decoder level 1 (no channel reduction; runs at 2*dim) ----
-        d1 = L.Upsample(dim * 2, ax, name="up2_1")(dec2)
-        p1 = L.TVSP(cfg.task_classes, cfg.prompt_sizes[0], dim, dim, table, ax, name="prompt1")(
+        d1 = L.Upsample(dim * 2, ax, cfg.use_pallas_attention, name="up2_1")(dec2)
+        p1 = L.TVSP(cfg.task_classes, cfg.prompt_sizes[0], dim, dim, table, ax,
+                    cfg.use_pallas_attention, name="prompt1")(
             enc1, clip_prompt, prompt_weights
         )
         enc1f = L.PromptFusion(dim * 2, dim, num_heads=4, use_bias=cfg.bias, axis_name=ax,
@@ -96,7 +98,8 @@ class MPHSIRNet(nn.Module):
         dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(d1, deterministic)
         ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp2, 0)(dec1, deterministic)
 
-        out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax, name="output")(ref)
+        out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax,
+                       use_pallas=cfg.use_pallas_attention, name="output")(ref)
         out = out.astype(jnp.float32) + inp.astype(jnp.float32).transpose(0, 2, 3, 1)
         return out.transpose(0, 3, 1, 2)  # back to (B, C, H, W)
 

@@ -341,6 +341,56 @@ def fused_ln_gated_mlp_nhwc(
 
 
 # ---------------------------------------------------------------------------
+# NHWC 3x3 convolution slab kernel (stride 1, zero pad 1, no groups)
+# ---------------------------------------------------------------------------
+
+
+def _conv3_kernel(x_top, x_mid, x_bot, w_ref, out_ref, *, n_slab, cout):
+    """y = conv3x3(x) as 9 shifted (8W, Cin) @ (Cin, Cout) MXU matmuls per
+    8-row slab. XLA's NHWC conv at small/unaligned channel counts measures
+    10-15x off the roofline (e.g. 2.2 ms for the 512^2 64->32 down conv);
+    this runs it as dense dots."""
+    i = pl.program_id(1)
+    _, ws8, w, c = x_mid.shape
+    top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+    bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+    x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+    xp = jnp.pad(x10, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((ws8 * w, cout), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            xs = xp[dr : dr + ws8, dc : dc + w, :].reshape(ws8 * w, c)
+            acc = acc + jnp.dot(xs, w_ref[dr * 3 + dc],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.reshape(ws8, w, cout).astype(out_ref.dtype)
+
+
+def fused_conv3x3_nhwc(
+    x: Array,      # (B, H, W, Cin)
+    w: Array,      # (3, 3, Cin, Cout) HWIO
+    interpret: bool = False,
+) -> Array:
+    """Bias-free stride-1 3x3 convolution with torch zero padding."""
+    b, h, wd, c = x.shape
+    cout = w.shape[-1]
+    assert h % 8 == 0, h
+    kern = functools.partial(_conv3_kernel, n_slab=h // 8, cout=cout)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // 8),
+        in_specs=[
+            pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, wd, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, wd, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        interpret=interpret,
+    )(x, x, x, w.reshape(9, c, cout).astype(x.dtype))
+
+
+# ---------------------------------------------------------------------------
 # NHWC fused LayerNorm + GDFN (gated-dconv FFN) kernel
 # ---------------------------------------------------------------------------
 

@@ -194,3 +194,14 @@ def test_fused_transformer_block_matches_plain():
         for n in names:
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_conv3x3_matches_conv2d():
+    from mp_hsir_tpu.ops.conv import conv2d
+    from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_nhwc
+
+    x = jnp.asarray(RNG.standard_normal((2, 24, 8, 5)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((3, 3, 5, 7)).astype(np.float32))
+    want = np.asarray(conv2d(x, w, padding=1))
+    got = np.asarray(fused_conv3x3_nhwc(x, w, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
