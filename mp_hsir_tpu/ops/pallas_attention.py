@@ -272,6 +272,18 @@ def fused_ln_window_attention_nhwc(
 # ---------------------------------------------------------------------------
 
 
+
+
+def _pick_chunk(w: int, cap: int) -> int:
+    """Largest divisor of w that is <= cap and a multiple of 8 (eval cubes
+    are 64-multiples, e.g. W=192, so power-of-two chunks don't always
+    divide)."""
+    for cand in (128, 96, 64, 48, 32, 24, 16, 8):
+        if cand <= cap and w % cand == 0:
+            return cand
+    return w
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7) — Mosaic
     has no erf primitive; exp it has."""
@@ -317,7 +329,7 @@ def fused_ln_gated_mlp_nhwc(
     stays outside."""
     b, h, w, c = x.shape
     hidden = w2.shape[0]
-    bw = min(w, 128)
+    bw = w if w <= 128 else _pick_chunk(w, 128)
     assert h % 8 == 0 and w % bw == 0, (h, w)
     grid = (b, h // 8, w // bw)
     kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps)
@@ -420,13 +432,15 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
 
     def chunk(j, _):
         xs = xn_ref[:, pl.ds(j * cw, cw + 2), :].reshape(10 * (cw + 2), c)
+        # keep the projection output f32: the 9 tap multiply-adds then run
+        # without per-tap dtype converts (measured 2x on this kernel)
         t = jnp.dot(xs, win_ref[:], preferred_element_type=jnp.float32)
-        t = t.astype(dt).reshape(10, cw + 2, 2 * hidden)
+        t = t.reshape(10, cw + 2, 2 * hidden)
         acc = jnp.zeros((ws8, cw, 2 * hidden), jnp.float32)
         for dr in range(3):
             for dc in range(3):
                 wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
-                acc = acc + t[dr : dr + ws8, dc : dc + cw, :].astype(jnp.float32) * wtap
+                acc = acc + t[dr : dr + ws8, dc : dc + cw, :] * wtap
         a = acc[:, :, :hidden]
         g = acc[:, :, hidden:]
         gated = ((0.5 * a * (1.0 + _erf(a / np.sqrt(2.0)))) * g).astype(dt)
@@ -455,7 +469,8 @@ def fused_ln_gdfn_nhwc(
     hidden = w_out.shape[2]
     # column chunk sized so the (10, cw+2, 2*hidden) f32 live set stays well
     # under the ~16MB scoped-VMEM limit
-    cw = min(w, 128 if 2 * hidden <= 768 else 64)
+    cap = 128 if 2 * hidden <= 512 else (64 if 2 * hidden <= 1024 else 32)
+    cw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % cw == 0, (h, w)
     grid = (b, h // 8)
     dt = x.dtype

@@ -205,3 +205,41 @@ def test_fused_conv3x3_matches_conv2d():
     want = np.asarray(conv2d(x, w, padding=1))
     got = np.asarray(fused_conv3x3_nhwc(x, w, interpret=True))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_pgsstb_non_pow2_width():
+    """Eval cubes are 64-multiples, not powers of two (e.g. W=192): every
+    fused kernel must handle such widths."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 8, 48, dim)).astype(np.float32))
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8, shift_size=4,
+                   mlp_ratio=2.0, compress_ratio=8, prompt_len=16,
+                   input_resolution=(64, 64))
+    params = plain.init(jax.random.key(6), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+             "fused_ln_gated_mlp_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        fused = PGSSTB(dim=dim, num_heads=heads, window_size=8, shift_size=4,
+                       mlp_ratio=2.0, compress_ratio=8, prompt_len=16,
+                       input_resolution=(64, 64), use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
