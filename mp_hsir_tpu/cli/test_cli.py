@@ -192,7 +192,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Orbax params dir for the FFC classifier (with --auto_task)")
     p.add_argument("--dim", type=int, default=None, help="model width override (debug/sweeps)")
     p.add_argument("--num_blocks", type=int, nargs=3, default=None, help="per-level depth override")
-    p.add_argument("--use_pallas", action="store_true", help="fused Pallas window attention (TPU)")
+    p.add_argument("--use_pallas", action=argparse.BooleanOptionalAction, default=None,
+                   help="fused Pallas kernels (default: auto — on for TPU, off for CPU)")
     p.add_argument("--mesh_spatial", type=int, default=1,
                    help="shard each cube's rows over N devices (multi-chip eval); "
                         "H must be divisible by 8*N at the deepest level")
@@ -225,6 +226,10 @@ def main(argv=None) -> None:
         overrides["dim"] = args.dim
     if args.num_blocks:
         overrides["num_blocks"] = tuple(args.num_blocks)
+    if args.use_pallas is None:
+        import jax
+
+        args.use_pallas = jax.default_backend() not in ("cpu",)
     if args.use_pallas:
         overrides["use_pallas_attention"] = True
     if overrides:
