@@ -188,7 +188,10 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         o_ref[:, pl.ds(p * seg_w, seg_w), :] = jnp.concatenate(outs, axis=1).reshape(ws8, seg_w, c)
         return 0
 
-    jax.lax.fori_loop(0, n_seg, seg, 0)
+    # unrolled: Mosaic schedules/pipelines the small attention dots better
+    # than a fori_loop here (measured)
+    for _p in range(n_seg):
+        seg(_p, 0)
     # slab-wide output projection
     y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
