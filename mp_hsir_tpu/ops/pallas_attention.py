@@ -281,7 +281,7 @@ def _pick_chunk(w: int, cap: int) -> int:
     """Largest divisor of w that is <= cap and a multiple of 8 (eval cubes
     are 64-multiples, e.g. W=192, so power-of-two chunks don't always
     divide)."""
-    for cand in (128, 96, 64, 48, 32, 24, 16, 8):
+    for cand in (256, 192, 128, 96, 64, 48, 32, 24, 16, 8):
         if cand <= cap and w % cand == 0:
             return cand
     return w
@@ -332,7 +332,8 @@ def fused_ln_gated_mlp_nhwc(
     stays outside."""
     b, h, w, c = x.shape
     hidden = w2.shape[0]
-    bw = w if w <= 128 else _pick_chunk(w, 128)
+    cap = 256 if 2 * hidden <= 768 else 128  # keep the f32 (8*bw, 2h) live set ~<6MB
+    bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
     grid = (b, h // 8, w // bw)
     kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps)
