@@ -214,6 +214,7 @@ class GDFNFusedNHWC(nn.Module):
 
     dim: int
     expansion: float
+    residual: bool = False  # write x + gdfn(ln(x)) in-kernel
 
     @nn.compact
     def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
@@ -224,7 +225,8 @@ class GDFNFusedNHWC(nn.Module):
         w_dw, _ = ConvParams(hidden * 2, 3, groups=hidden * 2, use_bias=False,
                              in_features=hidden * 2, name="dwconv")()
         w_out, _ = ConvParams(self.dim, 1, use_bias=False, in_features=hidden, name="project_out")()
-        return fused_ln_gdfn_nhwc(x_map, ln_w, ln_b, w_in, w_dw, w_out)
+        return fused_ln_gdfn_nhwc(x_map, ln_w, ln_b, w_in, w_dw, w_out,
+                                  residual=self.residual)
 
 
 class GatedMlpFusedNHWC(nn.Module):
@@ -233,6 +235,7 @@ class GatedMlpFusedNHWC(nn.Module):
 
     dim: int
     hidden: int
+    residual: bool = False  # write x + mlp(ln(x)) in-kernel
 
     @nn.compact
     def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
@@ -240,7 +243,8 @@ class GatedMlpFusedNHWC(nn.Module):
 
         w1, b1 = LinearParams(self.hidden * 2, self.dim, name="fc1")()
         w2, b2 = LinearParams(self.dim, self.hidden, name="fc2")()
-        return fused_ln_gated_mlp_nhwc(x_map, ln_w, ln_b, w1, b1, w2, b2)
+        return fused_ln_gated_mlp_nhwc(x_map, ln_w, ln_b, w1, b1, w2, b2,
+                                       residual=self.residual)
 
 
 class GDFN(nn.Module):
@@ -305,7 +309,19 @@ class SpectralAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, ln_w: Optional[Array] = None,
+                 ln_b: Optional[Array] = None, residual: bool = False,
+                 gate: Optional[Array] = None,
+                 gate_map: Optional[Array] = None,
+                 shortcut: Optional[Array] = None) -> Array:
+        """The optional kwargs are Pallas-path fused epilogues (caller must
+        only pass them on kernel-eligible shapes/configs):
+
+        * ``ln_w``/``ln_b``: fold the pre-attention LayerNorm in;
+        * ``residual``: return ``x + attn(...)``;
+        * ``gate`` (B, H/8, W/8, C) / ``shortcut``: the PGSSTB epilogue —
+          return ``[shortcut +] x * gate + attn(x)``.
+        """
         from mp_hsir_tpu.parallel.tp import tp_slice
 
         b, h, w, c = x.shape
@@ -326,7 +342,14 @@ class SpectralAttention(nn.Module):
                 and self.axis_name is None and h % 8 == 0):
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
 
-            return fused_spectral_attention_nhwc(x, wqkv, wdw, temp, wout, self.num_heads)
+            return fused_spectral_attention_nhwc(
+                x, wqkv, wdw, temp, wout, self.num_heads,
+                ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
+                gate_map=gate_map, shortcut=shortcut,
+            )
+        assert (ln_w is None and gate is None and gate_map is None
+                and shortcut is None and not residual), (
+            "fused epilogue kwargs require the Pallas-eligible configuration")
 
         if use_tp:
             heads = self.num_heads // n_sp
@@ -513,7 +536,8 @@ class SpatialAttentionNHWC(nn.Module):
     """Fused LayerNorm + Swin window MSA over the NHWC map via the Pallas
     slab kernel — parameter tree identical to SpatialAttention (so PGSSTB
     can swap paths without touching checkpoints). Returns the attention
-    output MAP; window partition/reverse never materialize."""
+    output MAP plus the per-window pooled means (for the PG gate); window
+    partition/reverse never materialize."""
 
     dim: int
     window_size: int
@@ -521,7 +545,7 @@ class SpatialAttentionNHWC(nn.Module):
 
     @nn.compact
     def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
-                 region_map: Optional[Array]) -> Array:
+                 region_map: Optional[Array]):
         from mp_hsir_tpu.ops.pallas_attention import fused_ln_window_attention_nhwc
 
         c = x_map.shape[-1]
@@ -634,14 +658,24 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        fused = (self.use_pallas and not self.use_bias and self.axis_name is None
+                 and self.spectral_axis is None and x.shape[1] % 8 == 0)
+        if fused:
+            # norm1 + MDTA + residual in ONE kernel (2 reads + 1 write of the
+            # map); the standalone LN and the separate residual add each cost
+            # full extra HBM passes
+            lnw1, lnb1 = LayerNormParams(self.dim, name="norm1")()
+            x = SpectralAttention(self.dim, self.num_heads, self.use_bias,
+                                  use_pallas=True, name="attn")(
+                x, ln_w=lnw1, ln_b=lnb1, residual=True
+            )
+            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
+            return GDFNFusedNHWC(self.dim, self.expansion, residual=True,
+                                 name="ffn")(x, lnw2, lnb2)
         x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
                                   self.spectral_axis, self.use_pallas, name="attn")(
             RestormerLayerNorm(self.dim, name="norm1")(x)
         )
-        if (self.use_pallas and not self.use_bias and self.axis_name is None
-                and x.shape[1] % 8 == 0):
-            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
-            return x + GDFNFusedNHWC(self.dim, self.expansion, name="ffn")(x, lnw2, lnb2)
         return x + GDFN(self.dim, self.expansion, self.use_bias, self.axis_name, name="ffn")(
             RestormerLayerNorm(self.dim, name="norm2")(x)
         )
@@ -831,12 +865,18 @@ class PGSSTB(nn.Module):
 
         shortcut = x
         fused = self.use_pallas and ws == 8 and w % 16 == 0
+        # the in-kernel epilogue bakes the residual adds in, which is only
+        # the same program when drop-path is a no-op (always true at eval;
+        # training runs the differentiable jnp path anyway)
+        dp_identity = deterministic or self.drop_path == 0.0
 
         if fused:
             # NHWC fused path: LN + window MSA inside one Pallas slab kernel
             # (no window tensors materialize — the (nW, 64, C) formulation
             # poisoned whole-program XLA layout assignment); the PG gate is
-            # computed from 8x8 block means and broadcast back on the map.
+            # computed from 8x8 block means; the gate multiply, the branch
+            # sum and (unshifted) the outer residual all ride the spectral
+            # kernel's writeback instead of separate full-map HBM passes.
             ln_w, ln_b = LayerNormParams(self.dim, name="norm1")()
             region = None
             if shift > 0:
@@ -845,22 +885,49 @@ class PGSSTB(nn.Module):
                     start = jax.lax.axis_index(self.axis_name) * h
                     region = jax.lax.dynamic_slice_in_dim(region, start, h, axis=0)
             xr = roll_hw(x, -shift, -shift, self.axis_name) if shift > 0 else x
-            sa_map = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
+            sa_map, pooled = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
                 xr, ln_w, ln_b, region
-            )
-            pooled = jnp.mean(
-                sa_map.reshape(b, h // ws, ws, w // ws, ws, c), axis=(2, 4)
-            )  # (B, H/ws, W/ws, C) per-window descriptors
+            )  # pooled: (B, H/ws, W/ws, C) per-window descriptors, in-kernel
             gate = PGSpectralAttention(
                 self.dim, self.compress_ratio, self.prompt_len, self.use_bias,
                 name="local_spectral_attn",
             )(pooled=pooled.reshape(b, -1, c)).reshape(b, h // ws, w // ws, c)
-            gate = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
-            x1 = sa_map * gate
+            spectral = SpectralAttention(
+                self.dim, self.num_heads, self.use_bias, self.axis_name,
+                self.spectral_axis, True, name="gobal_spectral_attn",
+            )
+            hidden = int(self.dim * self.mlp_ratio)
+            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
+            # the in-kernel epilogue needs the single-device pallas spectral
+            # path (mesh axes fall back to the psum'd jnp formulation)
+            if dp_identity and self.axis_name is None and self.spectral_axis is None:
+                if shift == 0:
+                    # one kernel: x = shortcut + sa_map*gate + attn(sa_map)
+                    x = spectral(sa_map, gate=gate, shortcut=shortcut)
+                else:
+                    # the reference applies the global spectral attention in
+                    # the UNROLLED frame (edge zero-padding of its dwconv
+                    # moves with the roll), so roll back first and hand the
+                    # kernel a per-pixel rolled gate map instead
+                    u = roll_hw(sa_map, shift, shift, None)
+                    gate_u = roll_hw(
+                        jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2),
+                        shift, shift, None,
+                    )
+                    x = spectral(u, gate_map=gate_u, shortcut=shortcut)
+                return GatedMlpFusedNHWC(self.dim, hidden, residual=True,
+                                         name="mlp")(x, lnw2, lnb2)
+            gate_map = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
+            x1 = sa_map * gate_map
             x2 = sa_map
             if shift > 0:
                 x1 = roll_hw(x1, shift, shift, self.axis_name)
                 x2 = roll_hw(x2, shift, shift, self.axis_name)
+            x2 = spectral(x2)
+            dp = DropPath(self.drop_path, name="drop_path")
+            x = shortcut + dp(x1 + x2, deterministic)
+            mlp_out = GatedMlpFusedNHWC(self.dim, hidden, name="mlp")(x, lnw2, lnb2)
+            return x + dp(mlp_out, deterministic)
         else:
             xn = LayerNorm(self.dim, name="norm1")(x)
             if shift > 0:
@@ -896,13 +963,9 @@ class PGSSTB(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(y, deterministic)
         hidden = int(self.dim * self.mlp_ratio)
-        if fused:
-            lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
-            mlp_out = GatedMlpFusedNHWC(self.dim, hidden, name="mlp")(x, lnw2, lnb2)
-        else:
-            mlp_out = GatedMlp(self.dim, hidden, name="mlp")(
-                LayerNorm(self.dim, name="norm2")(x)
-            )
+        mlp_out = GatedMlp(self.dim, hidden, name="mlp")(
+            LayerNorm(self.dim, name="norm2")(x)
+        )
         return x + dp(mlp_out, deterministic)
 
 

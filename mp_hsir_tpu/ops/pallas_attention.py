@@ -128,8 +128,8 @@ def segment_bias(rel_bias: Array) -> Array:
 
 
 def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
-                 wp_ref, bp_ref, out_ref, qkv_ref, o_ref, *, num_heads, eps,
-                 has_mask, lab_ref=None):
+                 wp_ref, bp_ref, out_ref, pooled_ref, qkv_ref, o_ref, *,
+                 num_heads, eps, has_mask, lab_ref=None):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
     The slab is processed as W/16 independent 128-token segments (two
@@ -195,19 +195,31 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     # slab-wide output projection
     y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
-    out_ref[0] = y.reshape(ws8, w, c).astype(out_ref.dtype)
+    y_dt = y.reshape(ws8, w, c).astype(out_ref.dtype)
+    out_ref[0] = y_dt
+    # per-8x8-window means for the PG gate branch — computed here for free
+    # (outside the kernel this is a full extra read of the map). The column
+    # 8-group reduction is a tiny 0/1-matrix dot: Mosaic rejects the
+    # (W, C) -> (W/8, 8, C) sublane-split reshape.
+    rowsum = jnp.sum(y_dt.astype(jnp.float32), axis=0)  # (W, C)
+    pool_rows = jax.lax.broadcasted_iota(jnp.int32, (w // 8, w), 0)
+    pool_cols = jax.lax.broadcasted_iota(jnp.int32, (w // 8, w), 1) // 8
+    pool_mat = (pool_rows == pool_cols).astype(jnp.float32)  # (W/8, W)
+    pooled = jnp.dot(pool_mat, rowsum, preferred_element_type=jnp.float32) * (1.0 / 64.0)
+    pooled_ref[0, 0] = pooled.astype(pooled_ref.dtype)
 
 
 def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
-                        qkv_scr, o_scr, *, num_heads, eps):
-    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, qkv_scr,
-                 o_scr, num_heads=num_heads, eps=eps, has_mask=True, lab_ref=lab)
+                        pooled_ref, qkv_scr, o_scr, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, has_mask=True,
+                 lab_ref=lab)
 
 
 def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
-                          qkv_scr, o_scr, *, num_heads, eps):
-    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, qkv_scr,
-                 o_scr, num_heads=num_heads, eps=eps, has_mask=False)
+                          pooled_ref, qkv_scr, o_scr, *, num_heads, eps):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, has_mask=False)
 
 
 def fused_ln_window_attention_nhwc(
@@ -223,11 +235,12 @@ def fused_ln_window_attention_nhwc(
     num_heads: int,
     eps: float = 1e-5,
     interpret: bool = False,
-) -> Array:
+):
     """LayerNorm + 8x8 window MSA fused over NHWC slabs (window size 8).
-    Returns the attention output MAP (B, H, W, C) — the window_reverse is
-    implicit. W must be a multiple of 16 (two windows per 128-token
-    segment); H a multiple of 8."""
+    Returns ``(map, pooled)``: the attention output MAP (B, H, W, C) — the
+    window_reverse is implicit — plus the per-window means
+    (B, H/8, W/8, C) that feed the PG gate branch. W must be a multiple of
+    16 (two windows per 128-token segment); H a multiple of 8."""
     b, h, w, c = x.shape
     assert h % 8 == 0 and w % 16 == 0, (h, w)
     grid = (b, h // 8)
@@ -260,12 +273,21 @@ def fused_ln_window_attention_nhwc(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        out_specs=[
+            pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
+        ],
         scratch_shapes=[
             pltpu.VMEM((8, w, 3 * c), x.dtype),  # slab qkv
             pltpu.VMEM((8, w, c), x.dtype),      # pre-projection attention out
         ],
+        # the in-kernel pooled-mean epilogue pushes the 512-wide d128 slab
+        # just past the default 16MB scoped-vmem cap; v5e has 128MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -299,7 +321,7 @@ def _erf(x):
 
 
 def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, hidden, eps):
+                out_ref, *, hidden, eps, residual):
     _, r8, bw, c = x_ref.shape
     dt = x_ref.dtype
     x = x_ref[0].reshape(r8 * bw, c)
@@ -315,7 +337,12 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # erf GELU in f32 (matches ops/basic.gelu_exact to ~1e-7)
     gated = a * (0.5 * g * (1.0 + _erf(g / np.sqrt(2.0))))
     y = jnp.dot(gated.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    out_ref[0] = y.reshape(r8, bw, c).astype(out_ref.dtype)
+    y = y.astype(out_ref.dtype).reshape(r8, bw, c)
+    if residual:
+        # x is already in VMEM: the post-MLP residual add costs zero extra
+        # HBM traffic in-kernel (outside it is a 2-read 1-write pass)
+        y = x.reshape(r8, bw, c).astype(out_ref.dtype) + y
+    out_ref[0] = y
 
 
 def fused_ln_gated_mlp_nhwc(
@@ -324,19 +351,20 @@ def fused_ln_gated_mlp_nhwc(
     w1: Array, b1: Array,           # (C, 2*hidden), (2*hidden,)
     w2: Array, b2: Array,           # (hidden, C), (C,)
     eps: float = 1e-5,
+    residual: bool = False,
     interpret: bool = False,
 ) -> Array:
     """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
     over NHWC tiles: the (T, 2*hidden) intermediate never touches HBM (the
-    unfused chain writes/reads it — 2*2.66x the map size). Residual add
-    stays outside."""
+    unfused chain writes/reads it — 2*2.66x the map size). With
+    ``residual=True`` the kernel writes ``x + mlp(ln(x))`` directly."""
     b, h, w, c = x.shape
     hidden = w2.shape[0]
     cap = 256 if 2 * hidden <= 768 else 128  # keep the f32 (8*bw, 2h) live set ~<6MB
     bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
     grid = (b, h // 8, w // bw)
-    kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps)
+    kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps, residual=residual)
     dt = x.dtype
     return pl.pallas_call(
         kern,
@@ -412,7 +440,8 @@ def fused_conv3x3_nhwc(
 
 
 def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
-                 wout_ref, out_ref, xn_ref, *, hidden, eps, n_slab, cw):
+                 wout_ref, out_ref, xn_ref, *, hidden, eps, n_slab, cw,
+                 residual):
     """Grid (B, H/8): LN -> 1x1 project_in (2*hidden) -> 3x3 depthwise
     (halo rows from the clamped side blocks) -> erf-gelu gate -> 1x1
     project_out, all in VMEM. The 2*hidden-wide intermediate (5.3x the map)
@@ -450,7 +479,10 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
         gated = ((0.5 * a * (1.0 + _erf(a / np.sqrt(2.0)))) * g).astype(dt)
         y = jnp.dot(gated.reshape(ws8 * cw, hidden), wout_ref[:],
                     preferred_element_type=jnp.float32)
-        out_ref[0, :, pl.ds(j * cw, cw), :] = y.reshape(ws8, cw, c).astype(out_ref.dtype)
+        y = y.reshape(ws8, cw, c).astype(out_ref.dtype)
+        if residual:
+            y = x_mid[0, :, pl.ds(j * cw, cw), :].astype(out_ref.dtype) + y
+        out_ref[0, :, pl.ds(j * cw, cw), :] = y
         return 0
 
     jax.lax.fori_loop(0, n_chunk, chunk, 0)
@@ -463,11 +495,13 @@ def fused_ln_gdfn_nhwc(
     w_dw: Array,              # (3, 3, 1, 2*hidden) depthwise
     w_out: Array,             # (1, 1, hidden, C) project_out
     eps: float = 1e-5,
+    residual: bool = False,
     interpret: bool = False,
 ) -> Array:
     """RestormerLayerNorm + GDFN fused over NHWC slabs (bias-free variant —
-    both presets use bias=False). Residual add stays outside. NOTE: GDFN
-    gates as gelu(x1) * x2 where (x1, x2) = chunk2 (reference
+    both presets use bias=False). With ``residual=True`` writes
+    ``x + gdfn(ln(x))`` (zero extra traffic — x is already in VMEM). NOTE:
+    GDFN gates as gelu(x1) * x2 where (x1, x2) = chunk2 (reference
     net/MP_HSIR.py:389)."""
     b, h, w, c = x.shape
     hidden = w_out.shape[2]
@@ -478,7 +512,8 @@ def fused_ln_gdfn_nhwc(
     assert h % 8 == 0 and w % cw == 0, (h, w)
     grid = (b, h // 8)
     dt = x.dtype
-    kern = functools.partial(_gdfn_kernel, hidden=hidden, eps=eps, n_slab=h // 8, cw=cw)
+    kern = functools.partial(_gdfn_kernel, hidden=hidden, eps=eps, n_slab=h // 8, cw=cw,
+                             residual=residual)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -508,19 +543,29 @@ def fused_ln_gdfn_nhwc(
 
 
 def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
-                     out_ref, gram_ref, nq_ref, nk_ref, comb_ref, *,
-                     num_heads, n_slab):
+                     *rest, num_heads, n_slab, ln, eps, residual, has_gate,
+                     has_gate_map, has_shortcut):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
-    qkv = dwconv3x3(conv1x1(x)) on the fly (halo rows via the clamped
+    qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
     accumulating the C x C Gram matrix and the global q/k L2 norms in VMEM
     scratch. At the phase boundary the (dh x dh per head) attention is
     normalized, tempered, softmaxed and pre-multiplied with the output
     projection into `comb`. Phase 1 streams the slabs again, computes only
-    the v third, and writes out = v @ comb — one dense dot per slab.
+    the v third, and writes one dense dot per slab:
 
-    HBM traffic: 2 reads of x + 1 write of out (the unfused chain writes/
-    reads qkv (3C wide) twice plus split copies — ~4x more)."""
+        out = [shortcut +] [x * gate +] [x +] v @ comb
+
+    * ``ln``: fold the caller's pre-attention LayerNorm in (TransformerBlock
+      norm1) — saves a standalone LN pass (2 map traversals).
+    * ``residual``: add the raw input (TransformerBlock ``x + attn(ln(x))``)
+      — zero extra traffic, x is already in VMEM.
+    * ``has_gate``: the PGSSTB epilogue — gate is a per-8x8-window (C,) map
+      broadcast onto the slab; fuses branch (a)'s ``x1 = sa_map * gate``,
+      the x1+x2 sum, and (``has_shortcut``) the outer residual, replacing
+      ~6 separate full-map HBM passes with this kernel's writeback.
+
+    HBM traffic: 2 reads of x + 1 write of out (+1 shortcut read)."""
     b = pl.program_id(0)
     phase = pl.program_id(1)
     i = pl.program_id(2)
@@ -528,11 +573,35 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     dh = c // num_heads
     dt = x_mid.dtype
 
+    n_opt = ((2 if ln else 0) + (1 if has_gate else 0)
+             + (1 if has_gate_map else 0) + (1 if has_shortcut else 0))
+    opt = list(rest[:n_opt])
+    out_ref = rest[n_opt]
+    gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
+    lnw_ref = opt.pop(0) if ln else None
+    lnb_ref = opt.pop(0) if ln else None
+    gate_ref = opt.pop(0) if has_gate or has_gate_map else None
+    short_ref = opt.pop(0) if has_shortcut else None
+
     def qkv_slab(lane_lo, lane_hi):
-        """dwconv3x3(conv1x1(x))[:, lane_lo:lane_hi] for the slab's 8 rows."""
-        top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
-        bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
-        x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+        """dwconv3x3(conv1x1([ln](x)))[:, lane_lo:lane_hi] for the slab."""
+        if ln:
+            # LN first, THEN zero-mask the out-of-image halo rows (the
+            # unfused chain pads zeros in ln-space, and LN(0) != 0)
+            x10 = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)
+            xf = x10.reshape(10 * w, c).astype(jnp.float32)
+            mu = jnp.mean(xf, axis=1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=1, keepdims=True)
+            xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+                  + lnb_ref[:].astype(jnp.float32)).astype(dt).reshape(10, w, c)
+            top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
+            bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
+            x10 = jnp.concatenate([top, xn[1:9], bot], axis=0)
+        else:
+            top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+            bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+            x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
         wq = wqkv_ref[:, lane_lo:lane_hi]
         t = jnp.dot(x10.reshape(10 * w, c), wq, preferred_element_type=jnp.float32)
         t = t.astype(dt).reshape(10, w, lane_hi - lane_lo)
@@ -585,7 +654,24 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     def _():
         v = qkv_slab(2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
         y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
-        out_ref[0] = y.reshape(ws8, w, c).astype(out_ref.dtype)
+        y = y.reshape(ws8, w, c).astype(dt)
+        if has_gate:
+            g = gate_ref[0, 0]  # (W/8, C), one gate row per window column
+            # expand to (W, C) via a 0/1-matrix dot (Mosaic rejects the
+            # broadcast + sublane-merge reshape)
+            er = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 0) // 8
+            ec = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 1)
+            emat = (er == ec).astype(jnp.float32)
+            gb = jnp.dot(emat, g.astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(dt)
+            y = x_mid[0] * gb[None] + y  # x1 + x2, plain-path add order
+        if has_gate_map:
+            y = x_mid[0] * gate_ref[0] + y  # per-pixel gate (shifted blocks)
+        if residual:
+            y = x_mid[0] + y
+        if has_shortcut:
+            y = short_ref[0] + y
+        out_ref[0] = y.astype(out_ref.dtype)
 
 
 def fused_spectral_attention_nhwc(
@@ -595,13 +681,22 @@ def fused_spectral_attention_nhwc(
     temperature: Array,  # (nH, 1, 1)
     wout: Array,         # (1, 1, C, C) output 1x1 conv weight
     num_heads: int,
+    ln_w: Optional[Array] = None,   # (C,): fold pre-attention LayerNorm in
+    ln_b: Optional[Array] = None,
+    residual: bool = False,         # out += x (TransformerBlock residual)
+    gate: Optional[Array] = None,   # (B, H/8, W/8, C) PG per-window gates
+    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates (shifted)
+    shortcut: Optional[Array] = None,  # (B, H, W, C) outer residual
+    eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
-    """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel.
-    Bias-free variant (both presets use bias=False); unsharded only —
-    callers with mesh axes fall back to the jnp path."""
+    """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel, with
+    optional fused epilogues (see _spectral_kernel). Bias-free variant (both
+    presets use bias=False); unsharded only — callers with mesh axes fall
+    back to the jnp path."""
     b, h, w, c = x.shape
     assert h % 8 == 0, h
+    ln = ln_w is not None
     n_slab = h // 8
     grid = (b, 2, n_slab)
     dt = x.dtype
@@ -616,19 +711,44 @@ def fused_spectral_attention_nhwc(
     def bot_map(bi, p, i):
         return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
 
-    kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab)
+    assert gate is None or gate_map is None
+    kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab,
+                             ln=ln, eps=eps, residual=residual,
+                             has_gate=gate is not None,
+                             has_gate_map=gate_map is not None,
+                             has_shortcut=shortcut is not None)
+    in_specs = [
+        pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
+    ]
+    args = [x, x, x, wqkv2d, wdw2d, temp2d, wout2d]
+    if ln:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        args += [ln_w, ln_b]
+    if gate is not None:
+        assert w % 8 == 0, w
+        in_specs.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, p, i: (bi, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(gate.astype(dt))
+    if gate_map is not None:
+        in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(gate_map.astype(dt))
+    if shortcut is not None:
+        # pinned to block 0 during phase 0 (one fetch), streamed in phase 1
+        in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(shortcut.astype(dt))
+
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         scratch_shapes=[
@@ -638,7 +758,7 @@ def fused_spectral_attention_nhwc(
             pltpu.VMEM((c, c), jnp.float32),                # comb
         ],
         interpret=interpret,
-    )(x, x, x, wqkv2d, wdw2d, temp2d, wout2d)
+    )(*args)
 
 
 def fused_window_attention(
