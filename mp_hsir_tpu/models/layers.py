@@ -313,7 +313,8 @@ class SpectralAttention(nn.Module):
                  ln_b: Optional[Array] = None, residual: bool = False,
                  gate: Optional[Array] = None,
                  gate_map: Optional[Array] = None,
-                 shortcut: Optional[Array] = None) -> Array:
+                 shortcut: Optional[Array] = None,
+                 shifted: bool = False) -> Array:
         """The optional kwargs are Pallas-path fused epilogues (caller must
         only pass them on kernel-eligible shapes/configs):
 
@@ -345,10 +346,10 @@ class SpectralAttention(nn.Module):
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                gate_map=gate_map, shortcut=shortcut,
+                gate_map=gate_map, shortcut=shortcut, shifted=shifted,
             )
         assert (ln_w is None and gate is None and gate_map is None
-                and shortcut is None and not residual), (
+                and shortcut is None and not residual and not shifted), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
 
         if use_tp:
@@ -545,7 +546,7 @@ class SpatialAttentionNHWC(nn.Module):
 
     @nn.compact
     def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
-                 region_map: Optional[Array]):
+                 region_map: Optional[Array], shift_in: bool = False):
         from mp_hsir_tpu.ops.pallas_attention import fused_ln_window_attention_nhwc
 
         c = x_map.shape[-1]
@@ -562,7 +563,7 @@ class SpatialAttentionNHWC(nn.Module):
         return fused_ln_window_attention_nhwc(
             x_map, ln_w, ln_b, wqkv.astype(x_map.dtype), bqkv.astype(jnp.float32),
             bias.astype(jnp.float32), wp.astype(x_map.dtype), bp.astype(jnp.float32),
-            region_map, self.num_heads,
+            region_map, self.num_heads, shift_in=shift_in,
         )
 
 
@@ -884,9 +885,17 @@ class PGSSTB(nn.Module):
                 if n_sp > 1:
                     start = jax.lax.axis_index(self.axis_name) * h
                     region = jax.lax.dynamic_slice_in_dim(region, start, h, axis=0)
-            xr = roll_hw(x, -shift, -shift, self.axis_name) if shift > 0 else x
+            # in-kernel roll: the shifted-window (-4,-4) cyclic roll is built
+            # inside the slab kernel (reads this + the next wrapped block)
+            # when the single-device epilogue path is active; mesh axes keep
+            # the explicit ppermute roll
+            kernel_rolls = (shift > 0 and self.axis_name is None
+                            and self.spectral_axis is None
+                            and (deterministic or self.drop_path == 0.0))
+            xr = (roll_hw(x, -shift, -shift, self.axis_name)
+                  if shift > 0 and not kernel_rolls else x)
             sa_map, pooled = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
-                xr, ln_w, ln_b, region
+                xr, ln_w, ln_b, region, shift_in=kernel_rolls
             )  # pooled: (B, H/ws, W/ws, C) per-window descriptors, in-kernel
             gate = PGSpectralAttention(
                 self.dim, self.compress_ratio, self.prompt_len, self.use_bias,
@@ -901,20 +910,13 @@ class PGSSTB(nn.Module):
             # the in-kernel epilogue needs the single-device pallas spectral
             # path (mesh axes fall back to the psum'd jnp formulation)
             if dp_identity and self.axis_name is None and self.spectral_axis is None:
-                if shift == 0:
-                    # one kernel: x = shortcut + sa_map*gate + attn(sa_map)
-                    x = spectral(sa_map, gate=gate, shortcut=shortcut)
-                else:
-                    # the reference applies the global spectral attention in
-                    # the UNROLLED frame (edge zero-padding of its dwconv
-                    # moves with the roll), so roll back first and hand the
-                    # kernel a per-pixel rolled gate map instead
-                    u = roll_hw(sa_map, shift, shift, None)
-                    gate_u = roll_hw(
-                        jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2),
-                        shift, shift, None,
-                    )
-                    x = spectral(u, gate_map=gate_u, shortcut=shortcut)
+                # one kernel: x = shortcut + sa_map*gate + attn(sa_map).
+                # The reference applies the global spectral attention in the
+                # UNROLLED frame (its dwconv zero padding lives there); for
+                # shifted blocks the kernel performs the (+4,+4) roll-back
+                # internally and indexes the per-window gates through it.
+                x = spectral(sa_map, gate=gate, shortcut=shortcut,
+                             shifted=shift > 0)
                 return GatedMlpFusedNHWC(self.dim, hidden, residual=True,
                                          name="mlp")(x, lnw2, lnb2)
             gate_map = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)

@@ -15,6 +15,7 @@ packing order, fp32 softmax) — asserted by tests against the jnp module.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -115,21 +116,29 @@ def _kernel_unmasked(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_re
 # ---------------------------------------------------------------------------
 
 
-def segment_bias(rel_bias: Array) -> Array:
-    """(nH, 64, 64) window rel-pos bias -> (nH*128, 128) bias over a
-    128-token SEGMENT (8 rows x 16 cols = two side-by-side 8x8 windows in
-    slab order, token idx = r*16 + col). Cross-window entries carry
-    meaningless values — the kernel masks them to -inf."""
+def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
+    """(nH, 64, 64) window rel-pos bias -> (nH*T, T) bias over a T-token
+    SEGMENT (8 rows x seg_w cols = seg_w/8 side-by-side 8x8 windows in slab
+    order, token idx = r*seg_w + col; T = 8*seg_w). Cross-window entries
+    are pre-baked to -1e9 (exp underflows to exactly 0 after the row-max
+    subtraction), so the unshifted kernel needs no iota mask/`where` at
+    all — that VPU work measured ~0.2 ms/call at 512^2."""
     nh, n, _ = rel_bias.shape
-    idx = np.arange(128)
-    r, c = idx // 16, idx % 16
+    t = 8 * seg_w
+    idx = np.arange(t)
+    r, c = idx // seg_w, idx % seg_w
     pos = r * 8 + (c % 8)  # position inside own window
-    return rel_bias[:, pos[:, None], pos[None, :]].reshape(nh * 128, 128)
+    out = rel_bias[:, pos[:, None], pos[None, :]]  # (nH, T, T)
+    win = c // 8  # which window of the segment each token belongs to
+    off = win[:, None] != win[None, :]
+    out = jnp.where(off[None], jnp.float32(-1e9), out.astype(jnp.float32))
+    return out.reshape(nh * t, t)
 
 
 def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                  wp_ref, bp_ref, out_ref, pooled_ref, qkv_ref, o_ref, *,
-                 num_heads, eps, has_mask, lab_ref=None):
+                 num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None,
+                 n_slab=0):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
     The slab is processed as W/16 independent 128-token segments (two
@@ -143,18 +152,24 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     reductions at 512^2 went from ~0.2 to ~4 ms each)."""
     _, ws8, w, c = x_ref.shape
     dh = c // num_heads
-    seg_w = 16
     n_seg = w // seg_w
+    t = 8 * seg_w
     dt = x_ref.dtype
-    scale = dh ** -0.5
-
-    colr = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0) % seg_w
-    colc = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1) % seg_w
-    off_base = (colr // 8) != (colc // 8)
+    # NOTE: the dh**-0.5 score scale is folded into the q-columns of wqkv by
+    # the wrapper; cross-window -inf lives in the precomputed segment bias.
 
     # slab-wide LN + qkv projection: one big MXU dot instead of n_seg small
     # ones (token order is row-major over the slab; segments slice columns)
-    xf = x_ref[0].reshape(ws8 * w, c).astype(jnp.float32)
+    if x_nxt is not None:
+        # shift_in: build the (-4, -4)-rolled slab in VMEM from this block
+        # and the next (wrapped) one — the separate roll_hw pass (a full
+        # read+write of the map) never happens. Rows 8i+4..8i+12 (mod H),
+        # columns rotated left by 4 (cyclic, matching jnp.roll).
+        stack = jnp.concatenate([x_ref[0, 4:], x_nxt[0, :4]], axis=0)  # (8, W, C)
+        slab = jnp.concatenate([stack[:, 4:], stack[:, :4]], axis=1)
+        xf = slab.reshape(ws8 * w, c).astype(jnp.float32)
+    else:
+        xf = x_ref[0].reshape(ws8 * w, c).astype(jnp.float32)
     mu = jnp.mean(xf, axis=1, keepdims=True)
     xc = xf - mu
     var = jnp.mean(xc * xc, axis=1, keepdims=True)
@@ -164,12 +179,11 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                   + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
 
     def seg(p, _):
-        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(128, 3 * c)
-        off = off_base
+        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
         if has_mask:
-            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, 16) int32
-            lab_r = lab.reshape(128, 1)
-            off = off | (lab_r != lab_r.reshape(1, 128))
+            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w) int32
+            lab_r = lab.reshape(t, 1)
+            off = lab_r != lab_r.reshape(1, t)
 
         outs = []
         for h in range(num_heads):
@@ -178,9 +192,10 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
             attn = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            attn = attn + bias_ref[h * 128 : (h + 1) * 128, :]
-            attn = jnp.where(off, -jnp.inf, attn)
+            )
+            attn = attn + bias_ref[h * t : (h + 1) * t, :]
+            if has_mask:
+                attn = jnp.where(off, -jnp.inf, attn)
             attn = jax.nn.softmax(attn, axis=-1)
             outs.append(
                 jnp.dot(attn.astype(dt), v, preferred_element_type=jnp.float32).astype(dt)
@@ -210,16 +225,25 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 
 def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
-                        pooled_ref, qkv_scr, o_scr, *, num_heads, eps):
+                        pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
-                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, has_mask=True,
-                 lab_ref=lab)
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
+                 has_mask=True, lab_ref=lab)
+
+
+def _nhwc_kernel_masked_shift(x_ref, x_nxt, lnw, lnb, wqkv, bqkv, bias, lab, wp,
+                              bp, out_ref, pooled_ref, qkv_scr, o_scr, *,
+                              num_heads, eps, seg_w, n_slab):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
+                 has_mask=True, lab_ref=lab, x_nxt=x_nxt, n_slab=n_slab)
 
 
 def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
-                          pooled_ref, qkv_scr, o_scr, *, num_heads, eps):
+                          pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
-                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, has_mask=False)
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
+                 has_mask=False)
 
 
 def fused_ln_window_attention_nhwc(
@@ -234,17 +258,36 @@ def fused_ln_window_attention_nhwc(
     region_map: Optional[Array],  # (H, W) int32 shift-region labels or None
     num_heads: int,
     eps: float = 1e-5,
+    shift_in: bool = False,  # build the (-4,-4) roll in-kernel (see below)
     interpret: bool = False,
 ):
     """LayerNorm + 8x8 window MSA fused over NHWC slabs (window size 8).
     Returns ``(map, pooled)``: the attention output MAP (B, H, W, C) — the
     window_reverse is implicit — plus the per-window means
     (B, H/8, W/8, C) that feed the PG gate branch. W must be a multiple of
-    16 (two windows per 128-token segment); H a multiple of 8."""
+    16 (two windows per 128-token segment); H a multiple of 8.
+
+    ``shift_in``: x is the UNROLLED map; the kernel reads this slab plus the
+    next (wrapped) one and builds the (-ws/2, -ws/2) cyclic roll in VMEM, so
+    the shifted-window roll pass never touches HBM. The OUTPUT stays in the
+    rolled frame (as if the caller had pre-rolled). Requires a region_map."""
     b, h, w, c = x.shape
     assert h % 8 == 0 and w % 16 == 0, (h, w)
     grid = (b, h // 8)
-    bias2d = segment_bias(rel_bias)
+    # segment width (columns): seg_w/8 whole windows attend inside one
+    # (8*seg_w)^2 score tile; wider segments mean fewer, bigger MXU dots at
+    # more cross-window waste. 16 (128-token tiles) measured best on v5e;
+    # PALLAS_WIN_SEG overrides for experiments.
+    seg_w = int(os.environ.get("PALLAS_WIN_SEG", "16"))
+    if w % seg_w != 0:
+        seg_w = 16
+    bias2d = segment_bias(rel_bias, seg_w)
+    # fold the dh**-0.5 score scale into the q columns (and q bias) so the
+    # kernel never multiplies the (T, T) score tiles
+    scale = (c // num_heads) ** -0.5
+    wqkv = jnp.concatenate(
+        [(wqkv[:, :c].astype(jnp.float32) * scale).astype(wqkv.dtype), wqkv[:, c:]], axis=1)
+    bqkv = jnp.concatenate([bqkv[:c] * scale, bqkv[c:]])
 
     common = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
@@ -258,14 +301,25 @@ def fused_ln_window_attention_nhwc(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
     ]
-    if region_map is not None:
+    if shift_in:
+        assert region_map is not None
+        n_slab = h // 8
         lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
         lspec = pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
-        kern = functools.partial(_nhwc_kernel_masked, num_heads=num_heads, eps=eps)
+        nxtspec = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, jax.lax.rem(i + 1, n_slab), 0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(_nhwc_kernel_masked_shift, num_heads=num_heads,
+                                 eps=eps, seg_w=seg_w, n_slab=n_slab)
+        in_specs = [xspec, nxtspec] + common + [lspec] + tail
+        args = (x, x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
+    elif region_map is not None:
+        lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
+        lspec = pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+        kern = functools.partial(_nhwc_kernel_masked, num_heads=num_heads, eps=eps, seg_w=seg_w)
         in_specs = [xspec] + common + [lspec] + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     else:
-        kern = functools.partial(_nhwc_kernel_unmasked, num_heads=num_heads, eps=eps)
+        kern = functools.partial(_nhwc_kernel_unmasked, num_heads=num_heads, eps=eps, seg_w=seg_w)
         in_specs = [xspec] + common + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
 
@@ -466,7 +520,9 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
     def chunk(j, _):
         xs = xn_ref[:, pl.ds(j * cw, cw + 2), :].reshape(10 * (cw + 2), c)
         # keep the projection output f32: the 9 tap multiply-adds then run
-        # without per-tap dtype converts (measured 2x on this kernel)
+        # without per-tap dtype converts (f32 taps measured 2x FASTER than
+        # bf16 taps here — bf16 lane packing/relayout dominates, re-measured
+        # round 3: 4.34 vs 7.96 ms at d128 512^2)
         t = jnp.dot(xs, win_ref[:], preferred_element_type=jnp.float32)
         t = t.reshape(10, cw + 2, 2 * hidden)
         acc = jnp.zeros((ws8, cw, 2 * hidden), jnp.float32)
@@ -505,9 +561,11 @@ def fused_ln_gdfn_nhwc(
     net/MP_HSIR.py:389)."""
     b, h, w, c = x.shape
     hidden = w_out.shape[2]
-    # column chunk sized so the (10, cw+2, 2*hidden) f32 live set stays well
-    # under the ~16MB scoped-VMEM limit
-    cap = 128 if 2 * hidden <= 512 else (64 if 2 * hidden <= 1024 else 32)
+    # column chunk: bigger chunks halve the fori trip count and grow the MXU
+    # dots; the (10, cw+2, 2*hidden) f32 live set rides the raised 64MB
+    # scoped-vmem limit (PALLAS_GDFN_CAP overrides for experiments)
+    cap = 256 if 2 * hidden <= 512 else (128 if 2 * hidden <= 1024 else 64)
+    cap = int(os.environ.get("PALLAS_GDFN_CAP", cap))
     cw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % cw == 0, (h, w)
     grid = (b, h // 8)
@@ -530,6 +588,7 @@ def fused_ln_gdfn_nhwc(
         out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((10, w + 2, c), dt)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, x, x, ln_w, ln_b,
       w_in.reshape(c, 2 * hidden).astype(dt),
@@ -544,7 +603,7 @@ def fused_ln_gdfn_nhwc(
 
 def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
                      *rest, num_heads, n_slab, ln, eps, residual, has_gate,
-                     has_gate_map, has_shortcut):
+                     has_gate_map, has_shortcut, shifted=False):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
     qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
@@ -564,6 +623,13 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
       broadcast onto the slab; fuses branch (a)'s ``x1 = sa_map * gate``,
       the x1+x2 sum, and (``has_shortcut``) the outer residual, replacing
       ~6 separate full-map HBM passes with this kernel's writeback.
+    * ``shifted``: x is the ROLLED-frame window-attention output of a
+      shifted PGSSTB; the kernel builds the (+4, +4) roll-back (= the
+      reference's unrolled frame, where its dwconv zero padding lives)
+      in VMEM from two adjacent (wrapped) blocks — x_top carries the
+      previous block, x_bot a dummy single row. The per-window gate is
+      indexed through the same shift, so neither the un-rolled map nor a
+      per-pixel gate map ever materializes in HBM.
 
     HBM traffic: 2 reads of x + 1 write of out (+1 shortcut read)."""
     b = pl.program_id(0)
@@ -573,18 +639,28 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     dh = c // num_heads
     dt = x_mid.dtype
 
-    n_opt = ((2 if ln else 0) + (1 if has_gate else 0)
+    n_opt = ((2 if ln else 0) + ((2 if shifted else 1) if has_gate else 0)
              + (1 if has_gate_map else 0) + (1 if has_shortcut else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
     gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
     lnw_ref = opt.pop(0) if ln else None
     lnb_ref = opt.pop(0) if ln else None
+    gate_prev_ref = opt.pop(0) if (has_gate and shifted) else None
     gate_ref = opt.pop(0) if has_gate or has_gate_map else None
     short_ref = opt.pop(0) if has_shortcut else None
 
-    def qkv_slab(lane_lo, lane_hi):
-        """dwconv3x3(conv1x1([ln](x)))[:, lane_lo:lane_hi] for the slab."""
+    def build_x10():
+        """(10, W, C) slab with ±1 dwconv halo rows, edge rows zeroed —
+        in the unrolled frame (built from the roll when ``shifted``)."""
+        if shifted:
+            # u[r, j] = x[(r-4) mod H, (j-4) mod W]; u rows 8i-1..8i+9 live
+            # in x rows 8i-5..8i+5 = prev block rows 3..8 + this block 0..5
+            stack = jnp.concatenate([x_top[0, 3:8], x_mid[0, 0:5]], axis=0)
+            x10 = jnp.concatenate([stack[:, w - 4:], stack[:, :w - 4]], axis=1)
+            top = jnp.where(i > 0, x10[:1], jnp.zeros_like(x10[:1]))
+            bot = jnp.where(i < n_slab - 1, x10[9:], jnp.zeros_like(x10[9:]))
+            return jnp.concatenate([top, x10[1:9], bot], axis=0)
         if ln:
             # LN first, THEN zero-mask the out-of-image halo rows (the
             # unfused chain pads zeros in ln-space, and LN(0) != 0)
@@ -597,11 +673,13 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
                   + lnb_ref[:].astype(jnp.float32)).astype(dt).reshape(10, w, c)
             top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
             bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
-            x10 = jnp.concatenate([top, xn[1:9], bot], axis=0)
-        else:
-            top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
-            bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
-            x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+            return jnp.concatenate([top, xn[1:9], bot], axis=0)
+        top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+        bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+        return jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+
+    def qkv_slab(x10, lane_lo, lane_hi):
+        """dwconv3x3(conv1x1(x10))[:, lane_lo:lane_hi] for the slab."""
         wq = wqkv_ref[:, lane_lo:lane_hi]
         t = jnp.dot(x10.reshape(10 * w, c), wq, preferred_element_type=jnp.float32)
         t = t.astype(dt).reshape(10, w, lane_hi - lane_lo)
@@ -621,7 +699,7 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
 
     @pl.when(phase == 0)
     def _():
-        qk = qkv_slab(0, 2 * c)  # (8W, 2C)
+        qk = qkv_slab(build_x10(), 0, 2 * c)  # (8W, 2C)
         q = qk[:, :c]
         k = qk[:, c:]
         for h in range(num_heads):
@@ -652,10 +730,12 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
 
     @pl.when(phase == 1)
     def _():
-        v = qkv_slab(2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
+        x10 = build_x10()
+        v = qkv_slab(x10, 2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
         y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
         y = y.reshape(ws8, w, c).astype(dt)
-        if has_gate:
+        u_mid = x10[1:9] if shifted else (x_mid[0] if x_mid is not None else None)
+        if has_gate and not shifted:
             g = gate_ref[0, 0]  # (W/8, C), one gate row per window column
             # expand to (W, C) via a 0/1-matrix dot (Mosaic rejects the
             # broadcast + sublane-merge reshape)
@@ -664,11 +744,28 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
             emat = (er == ec).astype(jnp.float32)
             gb = jnp.dot(emat, g.astype(jnp.float32),
                          preferred_element_type=jnp.float32).astype(dt)
-            y = x_mid[0] * gb[None] + y  # x1 + x2, plain-path add order
+            y = u_mid * gb[None] + y  # x1 + x2, plain-path add order
+        if has_gate and shifted:
+            # gate windows live in the ROLLED frame: u pixel (r, j) maps to
+            # rolled window (((r-4) mod H)//8, ((j-4) mod W)//8). Within
+            # this u slab the first 4 rows take the previous window row,
+            # the last 4 this one; columns go through a shifted 0/1 matrix.
+            er = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 0)
+            ec = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 1)
+            emat = ((jax.lax.rem(er - 4 + w, w) // 8) == ec).astype(jnp.float32)
+            gb_prev = jnp.dot(emat, gate_prev_ref[0, 0].astype(jnp.float32),
+                              preferred_element_type=jnp.float32).astype(dt)
+            gb_cur = jnp.dot(emat, gate_ref[0, 0].astype(jnp.float32),
+                             preferred_element_type=jnp.float32).astype(dt)
+            gb = jnp.concatenate([
+                jnp.broadcast_to(gb_prev[None], (4, w, c)),
+                jnp.broadcast_to(gb_cur[None], (4, w, c)),
+            ], axis=0)
+            y = u_mid * gb + y
         if has_gate_map:
-            y = x_mid[0] * gate_ref[0] + y  # per-pixel gate (shifted blocks)
+            y = u_mid * gate_ref[0] + y  # per-pixel gate map variant
         if residual:
-            y = x_mid[0] + y
+            y = u_mid + y
         if has_shortcut:
             y = short_ref[0] + y
         out_ref[0] = y.astype(out_ref.dtype)
@@ -685,15 +782,18 @@ def fused_spectral_attention_nhwc(
     ln_b: Optional[Array] = None,
     residual: bool = False,         # out += x (TransformerBlock residual)
     gate: Optional[Array] = None,   # (B, H/8, W/8, C) PG per-window gates
-    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates (shifted)
+    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates
     shortcut: Optional[Array] = None,  # (B, H, W, C) outer residual
+    shifted: bool = False,          # x is rolled; roll back in-kernel
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
     """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel, with
     optional fused epilogues (see _spectral_kernel). Bias-free variant (both
     presets use bias=False); unsharded only — callers with mesh axes fall
-    back to the jnp path."""
+    back to the jnp path. With ``shifted`` the input is the ROLLED-frame map
+    of a shifted PGSSTB (gate windows indexed through the roll); the output
+    is written in the unrolled frame."""
     b, h, w, c = x.shape
     assert h % 8 == 0, h
     ln = ln_w is not None
@@ -712,15 +812,30 @@ def fused_spectral_attention_nhwc(
         return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
 
     assert gate is None or gate_map is None
+    assert not (shifted and (ln or residual or gate_map is not None))
     kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab,
                              ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
                              has_gate_map=gate_map is not None,
-                             has_shortcut=shortcut is not None)
-    in_specs = [
-        pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
+                             has_shortcut=shortcut is not None,
+                             shifted=shifted)
+    if shifted:
+        # x_top carries the PREVIOUS (wrapped) full block — the roll-back
+        # reads it in-kernel; x_bot is a pinned dummy row (one fetch total)
+        in_specs = [
+            pl.BlockSpec((1, 8, w, c),
+                         lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), lambda bi, p, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
+        ]
+    in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wdw
         pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
@@ -732,6 +847,12 @@ def fused_spectral_attention_nhwc(
         args += [ln_w, ln_b]
     if gate is not None:
         assert w % 8 == 0, w
+        if shifted:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, w // 8, c),
+                lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(gate.astype(dt))  # gate_prev (previous window row)
         in_specs.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, p, i: (bi, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(gate.astype(dt))
@@ -757,6 +878,7 @@ def fused_spectral_attention_nhwc(
             pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nk
             pltpu.VMEM((c, c), jnp.float32),                # comb
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
