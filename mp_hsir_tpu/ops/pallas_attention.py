@@ -411,9 +411,28 @@ def fused_ln_gated_mlp_nhwc(
     """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
     over NHWC tiles: the (T, 2*hidden) intermediate never touches HBM (the
     unfused chain writes/reads it — 2*2.66x the map size). With
-    ``residual=True`` the kernel writes ``x + mlp(ln(x))`` directly."""
+    ``residual=True`` the kernel writes ``x + mlp(ln(x))`` directly.
+
+    hidden is zero-padded up to a lane multiple (128) so the in-kernel
+    a/gate split lands on register boundaries — a split at lane 340 forces
+    Mosaic to relayout-copy the whole gate half. Padded lanes are exact
+    zeros end to end (zero w1 columns -> a_pad = 0 -> gated_pad = 0 -> zero
+    w2 rows), so the result is bit-identical."""
     b, h, w, c = x.shape
     hidden = w2.shape[0]
+    hp = (hidden + 127) // 128 * 128
+    if hp != hidden:
+        pad = hp - hidden
+        w1 = jnp.concatenate([
+            w1[:, :hidden], jnp.zeros((c, pad), w1.dtype),
+            w1[:, hidden:], jnp.zeros((c, pad), w1.dtype),
+        ], axis=1)
+        b1 = jnp.concatenate([
+            b1[:hidden], jnp.zeros((pad,), b1.dtype),
+            b1[hidden:], jnp.zeros((pad,), b1.dtype),
+        ])
+        w2 = jnp.concatenate([w2, jnp.zeros((pad, c), w2.dtype)], axis=0)
+        hidden = hp
     cap = 256 if 2 * hidden <= 768 else 128  # keep the f32 (8*bw, 2h) live set ~<6MB
     bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
@@ -561,6 +580,21 @@ def fused_ln_gdfn_nhwc(
     net/MP_HSIR.py:389)."""
     b, h, w, c = x.shape
     hidden = w_out.shape[2]
+    w_in2 = w_in.reshape(c, 2 * hidden)
+    w_dw2 = w_dw.reshape(9, 2 * hidden)
+    w_out2 = w_out.reshape(hidden, c)
+    # zero-pad hidden to a lane multiple so the in-kernel x1/x2 split is
+    # register-aligned (see fused_ln_gated_mlp_nhwc); padded lanes are
+    # exact zeros end to end
+    hp = (hidden + 127) // 128 * 128
+    if hp != hidden:
+        pad = hp - hidden
+        zc = jnp.zeros((c, pad), w_in2.dtype)
+        z9 = jnp.zeros((9, pad), w_dw2.dtype)
+        w_in2 = jnp.concatenate([w_in2[:, :hidden], zc, w_in2[:, hidden:], zc], axis=1)
+        w_dw2 = jnp.concatenate([w_dw2[:, :hidden], z9, w_dw2[:, hidden:], z9], axis=1)
+        w_out2 = jnp.concatenate([w_out2, jnp.zeros((pad, c), w_out2.dtype)], axis=0)
+        hidden = hp
     # column chunk: bigger chunks halve the fori trip count and grow the MXU
     # dots; the (10, cw+2, 2*hidden) f32 live set rides the raised 64MB
     # scoped-vmem limit (PALLAS_GDFN_CAP overrides for experiments)
@@ -590,10 +624,7 @@ def fused_ln_gdfn_nhwc(
         scratch_shapes=[pltpu.VMEM((10, w + 2, c), dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, x, ln_w, ln_b,
-      w_in.reshape(c, 2 * hidden).astype(dt),
-      w_dw.reshape(9, 2 * hidden).astype(dt),
-      w_out.reshape(hidden, c).astype(dt))
+    )(x, x, x, ln_w, ln_b, w_in2.astype(dt), w_dw2.astype(dt), w_out2.astype(dt))
 
 
 # ---------------------------------------------------------------------------
