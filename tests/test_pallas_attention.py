@@ -243,3 +243,61 @@ def test_fused_pgsstb_non_pow2_width():
         for n in names:
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
+    """Spatially sharded PGSSTB with the Pallas kernels (the real multi-chip
+    eval combination: local slab kernels + ppermute rolls + psum'd spectral
+    attention) == the plain unsharded module. The in-kernel roll/epilogue
+    shortcuts must correctly disable themselves under a mesh axis."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PGSSTB
+    from mp_hsir_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(data=1, spatial=2)
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 32, dim)).astype(np.float32))
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                   shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                   compress_ratio=8, prompt_len=16, input_resolution=(64, 64))
+    params = plain.init(jax.random.key(7), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+             "fused_ln_gated_mlp_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    sharded = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                     shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                     compress_ratio=8, prompt_len=16, input_resolution=(64, 64),
+                     axis_name=SPATIAL_AXIS, use_pallas=True)
+
+    def local_fwd(p, xx):
+        return sharded.apply({"params": p}, xx)
+
+    bspec = P(None, SPATIAL_AXIS, None, None)
+    f_sh = jax.jit(jax.shard_map(local_fwd, mesh=mesh, in_specs=(P(), bspec),
+                                 out_specs=bspec, check_vma=False))
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        got = np.asarray(f_sh(params, x))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
