@@ -134,10 +134,16 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
     psnr, ssim, sam = AverageMeter(), AverageMeter(), AverageMeter()
     wall = 0.0
 
+    warmed = set()
     for item in dataset:
         degraded = item["degraded"][None]
         clean = item["clean"][None]
         tid = task_router(degraded) if task_router is not None else task_id
+        if degraded.shape not in warmed:
+            # exclude XLA compile from "net time" (the torch reference has
+            # no compile step; each new input shape triggers one here)
+            fwd(params, jnp.asarray(degraded), jnp.asarray([tid])).block_until_ready()
+            warmed.add(degraded.shape)
         t0 = time.perf_counter()
         restored = fwd(params, jnp.asarray(degraded), jnp.asarray([tid]))
         restored.block_until_ready()
