@@ -141,12 +141,17 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
         tid = task_router(degraded) if task_router is not None else task_id
         if degraded.shape not in warmed:
             # exclude XLA compile from "net time" (the torch reference has
-            # no compile step; each new input shape triggers one here)
-            fwd(params, jnp.asarray(degraded), jnp.asarray([tid])).block_until_ready()
+            # no compile step; each new input shape triggers one here). A
+            # tiny host readback, NOT block_until_ready: the latter can
+            # return before remote execution finishes on the tunneled TPU
+            # (see CLAUDE.md), which would leak the warm run's tail into
+            # the first timed iteration.
+            warm = fwd(params, jnp.asarray(degraded), jnp.asarray([tid]))
+            np.asarray(warm[0, 0, :2, :2])
             warmed.add(degraded.shape)
         t0 = time.perf_counter()
         restored = fwd(params, jnp.asarray(degraded), jnp.asarray([tid]))
-        restored.block_until_ready()
+        np.asarray(restored[0, 0, :2, :2])  # force remote completion (same)
         wall += time.perf_counter() - t0
 
         if mode == 10:

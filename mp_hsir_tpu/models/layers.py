@@ -312,7 +312,6 @@ class SpectralAttention(nn.Module):
     def __call__(self, x: Array, ln_w: Optional[Array] = None,
                  ln_b: Optional[Array] = None, residual: bool = False,
                  gate: Optional[Array] = None,
-                 gate_map: Optional[Array] = None,
                  shortcut: Optional[Array] = None,
                  shifted: bool = False) -> Array:
         """The optional kwargs are Pallas-path fused epilogues (caller must
@@ -321,7 +320,8 @@ class SpectralAttention(nn.Module):
         * ``ln_w``/``ln_b``: fold the pre-attention LayerNorm in;
         * ``residual``: return ``x + attn(...)``;
         * ``gate`` (B, H/8, W/8, C) / ``shortcut``: the PGSSTB epilogue —
-          return ``[shortcut +] x * gate + attn(x)``.
+          return ``[shortcut +] x * gate + attn(x)`` (``shifted``: x is the
+          rolled frame; the kernel rolls back and shifts the gate indexing).
         """
         from mp_hsir_tpu.parallel.tp import tp_slice
 
@@ -346,10 +346,10 @@ class SpectralAttention(nn.Module):
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                gate_map=gate_map, shortcut=shortcut, shifted=shifted,
+                shortcut=shortcut, shifted=shifted,
             )
-        assert (ln_w is None and gate is None and gate_map is None
-                and shortcut is None and not residual and not shifted), (
+        assert (ln_w is None and gate is None and shortcut is None
+                and not residual and not shifted), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
 
         if use_tp:
@@ -889,9 +889,10 @@ class PGSSTB(nn.Module):
             # inside the slab kernel (reads this + the next wrapped block)
             # when the single-device epilogue path is active; mesh axes keep
             # the explicit ppermute roll
-            kernel_rolls = (shift > 0 and self.axis_name is None
-                            and self.spectral_axis is None
-                            and (deterministic or self.drop_path == 0.0))
+            epilogue_ok = (dp_identity and not self.use_bias
+                           and self.axis_name is None
+                           and self.spectral_axis is None)
+            kernel_rolls = shift > 0 and epilogue_ok
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)
             sa_map, pooled = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
@@ -907,9 +908,10 @@ class PGSSTB(nn.Module):
             )
             hidden = int(self.dim * self.mlp_ratio)
             lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
-            # the in-kernel epilogue needs the single-device pallas spectral
-            # path (mesh axes fall back to the psum'd jnp formulation)
-            if dp_identity and self.axis_name is None and self.spectral_axis is None:
+            # the in-kernel epilogue needs the single-device bias-free
+            # pallas spectral path (mesh axes and use_bias fall back to the
+            # psum'd / biased jnp formulation)
+            if epilogue_ok:
                 # one kernel: x = shortcut + sa_map*gate + attn(sa_map).
                 # The reference applies the global spectral attention in the
                 # UNROLLED frame (its dwconv zero padding lives there); for

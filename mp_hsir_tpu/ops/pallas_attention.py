@@ -137,8 +137,7 @@ def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
 
 def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                  wp_ref, bp_ref, out_ref, pooled_ref, qkv_ref, o_ref, *,
-                 num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None,
-                 n_slab=0):
+                 num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
     The slab is processed as W/16 independent 128-token segments (two
@@ -233,10 +232,10 @@ def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
 
 def _nhwc_kernel_masked_shift(x_ref, x_nxt, lnw, lnb, wqkv, bqkv, bias, lab, wp,
                               bp, out_ref, pooled_ref, qkv_scr, o_scr, *,
-                              num_heads, eps, seg_w, n_slab):
+                              num_heads, eps, seg_w):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
                  qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
-                 has_mask=True, lab_ref=lab, x_nxt=x_nxt, n_slab=n_slab)
+                 has_mask=True, lab_ref=lab, x_nxt=x_nxt)
 
 
 def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
@@ -279,8 +278,8 @@ def fused_ln_window_attention_nhwc(
     # more cross-window waste. 16 (128-token tiles) measured best on v5e;
     # PALLAS_WIN_SEG overrides for experiments.
     seg_w = int(os.environ.get("PALLAS_WIN_SEG", "16"))
-    if w % seg_w != 0:
-        seg_w = 16
+    if seg_w % 8 != 0 or w % seg_w != 0:
+        seg_w = 16  # segments must hold whole 8-wide windows
     bias2d = segment_bias(rel_bias, seg_w)
     # fold the dh**-0.5 score scale into the q columns (and q bias) so the
     # kernel never multiplies the (T, T) score tiles
@@ -309,7 +308,7 @@ def fused_ln_window_attention_nhwc(
         nxtspec = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, jax.lax.rem(i + 1, n_slab), 0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(_nhwc_kernel_masked_shift, num_heads=num_heads,
-                                 eps=eps, seg_w=seg_w, n_slab=n_slab)
+                                 eps=eps, seg_w=seg_w)
         in_specs = [xspec, nxtspec] + common + [lspec] + tail
         args = (x, x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     elif region_map is not None:
@@ -634,7 +633,7 @@ def fused_ln_gdfn_nhwc(
 
 def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
                      *rest, num_heads, n_slab, ln, eps, residual, has_gate,
-                     has_gate_map, has_shortcut, shifted=False):
+                     has_shortcut, shifted=False):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
     qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
@@ -671,14 +670,14 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     dt = x_mid.dtype
 
     n_opt = ((2 if ln else 0) + ((2 if shifted else 1) if has_gate else 0)
-             + (1 if has_gate_map else 0) + (1 if has_shortcut else 0))
+             + (1 if has_shortcut else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
     gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
     lnw_ref = opt.pop(0) if ln else None
     lnb_ref = opt.pop(0) if ln else None
     gate_prev_ref = opt.pop(0) if (has_gate and shifted) else None
-    gate_ref = opt.pop(0) if has_gate or has_gate_map else None
+    gate_ref = opt.pop(0) if has_gate else None
     short_ref = opt.pop(0) if has_shortcut else None
 
     def build_x10():
@@ -793,8 +792,6 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
                 jnp.broadcast_to(gb_cur[None], (4, w, c)),
             ], axis=0)
             y = u_mid * gb + y
-        if has_gate_map:
-            y = u_mid * gate_ref[0] + y  # per-pixel gate map variant
         if residual:
             y = u_mid + y
         if has_shortcut:
@@ -813,7 +810,6 @@ def fused_spectral_attention_nhwc(
     ln_b: Optional[Array] = None,
     residual: bool = False,         # out += x (TransformerBlock residual)
     gate: Optional[Array] = None,   # (B, H/8, W/8, C) PG per-window gates
-    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates
     shortcut: Optional[Array] = None,  # (B, H, W, C) outer residual
     shifted: bool = False,          # x is rolled; roll back in-kernel
     eps: float = 1e-5,
@@ -842,12 +838,10 @@ def fused_spectral_attention_nhwc(
     def bot_map(bi, p, i):
         return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
 
-    assert gate is None or gate_map is None
-    assert not (shifted and (ln or residual or gate_map is not None))
+    assert not (shifted and (ln or residual))
     kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab,
                              ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
-                             has_gate_map=gate_map is not None,
                              has_shortcut=shortcut is not None,
                              shifted=shifted)
     if shifted:
@@ -887,10 +881,6 @@ def fused_spectral_attention_nhwc(
         in_specs.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, p, i: (bi, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(gate.astype(dt))
-    if gate_map is not None:
-        in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(gate_map.astype(dt))
     if shortcut is not None:
         # pinned to block 0 during phase 0 (one fetch), streamed in phase 1
         in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),

@@ -301,3 +301,42 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
         for n in names:
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_pgsstb_with_bias_falls_back():
+    """use_bias=True is outside the bias-free kernel epilogue's domain: the
+    fused path must fall back to the jnp spectral formulation instead of
+    tripping the epilogue-kwargs assert (regression: round-3 review)."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 8, 32, dim)).astype(np.float32))
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8, shift_size=0,
+                   mlp_ratio=2.0, compress_ratio=8, prompt_len=16,
+                   input_resolution=(64, 64), use_bias=True)
+    params = plain.init(jax.random.key(8), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+             "fused_ln_gated_mlp_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        fused = PGSSTB(dim=dim, num_heads=heads, window_size=8, shift_size=0,
+                       mlp_ratio=2.0, compress_ratio=8, prompt_len=16,
+                       input_resolution=(64, 64), use_bias=True, use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
