@@ -194,6 +194,15 @@ class DropPath(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def _pallas_spectral_epilogue_ok(use_bias: bool, axis_name, spectral_axis) -> bool:
+    """Whether SpectralAttention's fused Pallas path (and therefore the
+    PGSSTB/TransformerBlock in-kernel epilogues that depend on it) is
+    available for this configuration: bias-free, no mesh axes. Kept in ONE
+    place — a drifted copy of this predicate caused a use_bias crash once
+    (callers passed epilogue kwargs that the module's own check rejected)."""
+    return not use_bias and axis_name is None and spectral_axis is None
+
+
 class GatedMlp(nn.Module):
     """Token MLP with gated exact-GELU (reference: net/MP_HSIR.py:66-82)."""
 
@@ -659,8 +668,9 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        fused = (self.use_pallas and not self.use_bias and self.axis_name is None
-                 and self.spectral_axis is None and x.shape[1] % 8 == 0)
+        fused = (self.use_pallas and x.shape[1] % 8 == 0
+                 and _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
+                                                 self.spectral_axis))
         if fused:
             # norm1 + MDTA + residual in ONE kernel (2 reads + 1 write of the
             # map); the standalone LN and the separate residual add each cost
@@ -889,9 +899,8 @@ class PGSSTB(nn.Module):
             # inside the slab kernel (reads this + the next wrapped block)
             # when the single-device epilogue path is active; mesh axes keep
             # the explicit ppermute roll
-            epilogue_ok = (dp_identity and not self.use_bias
-                           and self.axis_name is None
-                           and self.spectral_axis is None)
+            epilogue_ok = dp_identity and _pallas_spectral_epilogue_ok(
+                self.use_bias, self.axis_name, self.spectral_axis)
             kernel_rolls = shift > 0 and epilogue_ok
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)

@@ -116,6 +116,28 @@ def _kernel_unmasked(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_re
 # ---------------------------------------------------------------------------
 
 
+def _ln_rows(x2d, lnw_ref, lnb_ref, eps, dt):
+    """f32 LayerNorm over the lane axis of a (rows, C) tile -> dt."""
+    xf = x2d.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    return (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
+            + lnb_ref[:].astype(jnp.float32)).astype(dt)
+
+
+def _window_expand_mat(w: int, shift: int = 0):
+    """(W, W/8) 0/1 matrix E with E[j, k] = 1 iff column j's 8-wide window
+    (after shifting j by -shift cyclically) is k — expands per-window gate
+    rows to per-column values via one small MXU dot (Mosaic rejects the
+    broadcast + sublane-merge reshape)."""
+    er = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 1)
+    if shift:
+        er = jax.lax.rem(er - shift + w, w)
+    return ((er // 8) == ec).astype(jnp.float32)
+
+
 def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
     """(nH, 64, 64) window rel-pos bias -> (nH*T, T) bias over a T-token
     SEGMENT (8 rows x seg_w cols = seg_w/8 side-by-side 8x8 windows in slab
@@ -140,11 +162,12 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                  num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
-    The slab is processed as W/16 independent 128-token segments (two
-    adjacent 8x8 windows in slab order): per segment — f32 LayerNorm,
-    fused qkv projection, per-head 128x128 attention (bias from
-    segment_bias, cross-window -inf via iota), f32 softmax, value dot,
-    output projection — everything in VMEM registers. Because both the
+    The slab is processed as W/seg_w independent (8*seg_w)-token segments
+    (seg_w/8 adjacent 8x8 windows in slab order): per segment — f32
+    LayerNorm, fused qkv projection, per-head attention (cross-window -1e9
+    pre-baked into the segment bias, scale pre-folded into the q weights),
+    f32 softmax, value dot, output projection — everything in VMEM
+    registers. Because both the
     input and output are plain NHWC blocks, XLA keeps its preferred layouts
     for the surrounding program (the (nW, 64, C) window-token formulation
     provably poisoned whole-program layout assignment: standalone LN
@@ -169,11 +192,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         xf = slab.reshape(ws8 * w, c).astype(jnp.float32)
     else:
         xf = x_ref[0].reshape(ws8 * w, c).astype(jnp.float32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    xn = _ln_rows(xf, lnw_ref, lnb_ref, eps, dt)
     qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
                   + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
 
@@ -378,12 +397,7 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     _, r8, bw, c = x_ref.shape
     dt = x_ref.dtype
     x = x_ref[0].reshape(r8 * bw, c)
-    xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    xn = _ln_rows(x, lnw_ref, lnb_ref, eps, dt)
     h = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
     a = h[:, :hidden]
     g = h[:, hidden:]
@@ -526,12 +540,7 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
     top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
     bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
     x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
-    xf = x10.reshape(10 * w, c).astype(jnp.float32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
-    xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
-    xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-          + lnb_ref[:].astype(jnp.float32)).astype(dt)
+    xn = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps, dt)
     # zero-padded columns (scratch ref) so every chunk carries its +-1 halo
     xn_ref[:] = jnp.pad(xn.reshape(10, w, c), ((0, 0), (1, 1), (0, 0)))
 
@@ -695,12 +704,8 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
             # LN first, THEN zero-mask the out-of-image halo rows (the
             # unfused chain pads zeros in ln-space, and LN(0) != 0)
             x10 = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)
-            xf = x10.reshape(10 * w, c).astype(jnp.float32)
-            mu = jnp.mean(xf, axis=1, keepdims=True)
-            xc = xf - mu
-            var = jnp.mean(xc * xc, axis=1, keepdims=True)
-            xn = (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
-                  + lnb_ref[:].astype(jnp.float32)).astype(dt).reshape(10, w, c)
+            xn = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps,
+                          dt).reshape(10, w, c)
             top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
             bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
             return jnp.concatenate([top, xn[1:9], bot], axis=0)
@@ -764,14 +769,10 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
         v = qkv_slab(x10, 2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
         y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
         y = y.reshape(ws8, w, c).astype(dt)
-        u_mid = x10[1:9] if shifted else (x_mid[0] if x_mid is not None else None)
+        u_mid = x10[1:9] if shifted else x_mid[0]
         if has_gate and not shifted:
             g = gate_ref[0, 0]  # (W/8, C), one gate row per window column
-            # expand to (W, C) via a 0/1-matrix dot (Mosaic rejects the
-            # broadcast + sublane-merge reshape)
-            er = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 0) // 8
-            ec = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 1)
-            emat = (er == ec).astype(jnp.float32)
+            emat = _window_expand_mat(w)
             gb = jnp.dot(emat, g.astype(jnp.float32),
                          preferred_element_type=jnp.float32).astype(dt)
             y = u_mid * gb[None] + y  # x1 + x2, plain-path add order
@@ -779,10 +780,8 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
             # gate windows live in the ROLLED frame: u pixel (r, j) maps to
             # rolled window (((r-4) mod H)//8, ((j-4) mod W)//8). Within
             # this u slab the first 4 rows take the previous window row,
-            # the last 4 this one; columns go through a shifted 0/1 matrix.
-            er = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 0)
-            ec = jax.lax.broadcasted_iota(jnp.int32, (w, w // 8), 1)
-            emat = ((jax.lax.rem(er - 4 + w, w) // 8) == ec).astype(jnp.float32)
+            # the last 4 this one; columns go through the shifted matrix.
+            emat = _window_expand_mat(w, shift=4)
             gb_prev = jnp.dot(emat, gate_prev_ref[0, 0].astype(jnp.float32),
                               preferred_element_type=jnp.float32).astype(dt)
             gb_cur = jnp.dot(emat, gate_ref[0, 0].astype(jnp.float32),
