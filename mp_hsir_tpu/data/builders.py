@@ -25,8 +25,8 @@ SENSOR_RANGES: Dict[str, Tuple[float, float]] = {
     "WDC": (400, 2400),
     "PaviaC": (430, 860),
     "PaviaU": (430, 860),
-    "Houston": (380, 1050),
-    "Chikusei": (363, 1018),
+    "Houston": (364, 1046),
+    "Chikusei": (343, 1018),
     "Xiongan": (400, 1000),
     "Eagle": (401, 999),
     "BerlinUrGrad": (455, 2447),
@@ -38,21 +38,15 @@ COMMON_GRID = np.linspace(400.0, 1000.0, 100)
 def resample_to_common_grid(cube: np.ndarray, wl_range: Tuple[float, float]) -> np.ndarray:
     """Linearly interpolate a (C, H, W) cube whose bands span wl_range onto
     the common 100-band 400-1000 nm grid; out-of-range targets clamp to the
-    nearest measured band."""
+    nearest measured band. Vectorized over all target bands at once."""
     c = cube.shape[0]
     src = np.linspace(wl_range[0], wl_range[1], c)
     flat = cube.reshape(c, -1)
-    out = np.empty((len(COMMON_GRID), flat.shape[1]), np.float32)
-    for i, wl in enumerate(COMMON_GRID):
-        j = np.searchsorted(src, wl)
-        if j <= 0:
-            out[i] = flat[0]
-        elif j >= c:
-            out[i] = flat[-1]
-        else:
-            t = (wl - src[j - 1]) / (src[j] - src[j - 1])
-            out[i] = flat[j - 1] * (1 - t) + flat[j] * t
-    return out.reshape(len(COMMON_GRID), *cube.shape[1:])
+    j = np.clip(np.searchsorted(src, COMMON_GRID), 1, c - 1)
+    t = (COMMON_GRID - src[j - 1]) / (src[j] - src[j - 1])
+    t = np.clip(t, 0.0, 1.0)[:, None].astype(np.float32)  # clamps the ends
+    out = flat[j - 1] * (1.0 - t) + flat[j] * t
+    return out.astype(np.float32).reshape(len(COMMON_GRID), *cube.shape[1:])
 
 
 def _iter_patches(
@@ -63,14 +57,24 @@ def _iter_patches(
     mask: Optional[np.ndarray],
 ):
     """Multi-scale sliding patches with invalid-mask rejection and per-patch
-    min-max normalization (roles of Data2Volume, image_utils.py:416-448)."""
+    min-max normalization (roles of Data2Volume, image_utils.py:416-448).
+
+    Matches the reference builder's geometry: cubes are cropped to
+    128-multiples before patching (lmdb_patch.py:128-129) and downscales use
+    scipy zoom's default cubic spline for data, order-0 for masks
+    (lmdb_patch.py:58-59)."""
     from scipy.ndimage import zoom
 
+    _, h0, w0 = cube.shape
+    ch, cw = (h0 // 128) * 128, (w0 // 128) * 128
+    if ch and cw:
+        cube = cube[:, :ch, :cw]
+        mask = mask[:ch, :cw] if mask is not None else None
     for s in scales:
         if s == 1.0:
             c_s, m_s = cube, mask
         else:
-            c_s = zoom(cube, (1, s, s), order=1)
+            c_s = zoom(cube, (1, s, s))  # default order=3 like the reference
             m_s = zoom(mask.astype(np.float32), (s, s), order=0) > 0.5 if mask is not None else None
         _, h, w = c_s.shape
         for y in range(0, h - patch + 1, stride):

@@ -32,6 +32,9 @@ _META_RE = re.compile(r"^(\S+)\s+\((\d+),(\d+),(\d+)\)\s+source_file=(\S+)")
 DEFAULT_DATASET_NAMES = (
     "BerlinUrGrad", "Chikusei", "Eagle", "Xiongan", "Houston", "PaviaC", "PaviaU", "WDC",
 )
+# natural-scene sources (the commented-out alternative on the same reference
+# line — the reference edits the hard-coded list per run)
+NATURAL_DATASET_NAMES = ("ARAD", "ICVL")
 
 
 class PatchStoreWriter:
@@ -92,6 +95,14 @@ class PatchStore:
                 [i for i, (_, src) in enumerate(self.meta) if any(src.startswith(n) for n in dataset_names)],
                 np.int64,
             )
+            if len(self.valid_idx) == 0 and len(self.meta) > 0:
+                # a store whose sources match none of the known prefixes
+                # (e.g. custom data): training on 0 patches is never what
+                # the caller wants — warn and use everything instead of
+                # failing later with an opaque empty-epoch error
+                print(f"[patch_store] no sources match {tuple(dataset_names)}; "
+                      f"using all {len(self.meta)} patches")
+                self.valid_idx = np.arange(len(self.meta), dtype=np.int64)
         else:
             self.valid_idx = np.arange(len(self.meta), dtype=np.int64)
 

@@ -62,16 +62,20 @@ class TrainPipeline:
         max_steps = steps if steps is not None else max(n // bs, 1)
 
         def producer(q: queue.Queue):
-            for s in range(max_steps):
-                idxs = order[(s * bs) % n : (s * bs) % n + bs]
-                if len(idxs) < bs:  # wrap
-                    idxs = np.concatenate([idxs, order[: bs - len(idxs)]])
-                clean = self._host_batch(idxs)
-                de_ids = np.random.default_rng([self.tc.seed, epoch_idx, s]).integers(
-                    0, len(self.de_types), size=bs
-                )
-                q.put((s, clean, de_ids))
-            q.put(None)
+            try:
+                for s in range(max_steps):
+                    start = (s * bs) % n
+                    # cycle through `order` as often as needed (tiny stores
+                    # can be smaller than one batch)
+                    idxs = np.take(order, np.arange(start, start + bs), mode="wrap")
+                    clean = self._host_batch(idxs)
+                    de_ids = np.random.default_rng([self.tc.seed, epoch_idx, s]).integers(
+                        0, len(self.de_types), size=bs
+                    )
+                    q.put((s, clean, de_ids))
+                q.put(None)
+            except BaseException as e:  # propagate instead of hanging the consumer
+                q.put(e)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         t = threading.Thread(target=producer, args=(q,), daemon=True)
@@ -80,6 +84,8 @@ class TrainPipeline:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             s, clean, de_ids = item
             key = jax.random.key(hash((self.tc.seed, epoch_idx, s)) & 0x7FFFFFFF)
             clean_dev = jnp.asarray(clean)

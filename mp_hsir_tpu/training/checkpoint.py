@@ -29,7 +29,11 @@ import numpy as np
 
 
 def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 0) -> str:
-    """Save params+opt_state+step with Orbax; returns the path."""
+    """Save params+opt_state+step with Orbax; returns the path. With
+    keep > 0 only the newest `keep` step_* checkpoints are retained (the
+    reference's Lightning ModelCheckpoint keeps all, train.py:104)."""
+    import shutil
+
     import orbax.checkpoint as ocp
 
     ckpt_dir = os.path.abspath(ckpt_dir)
@@ -39,6 +43,10 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 0) -> str:
     payload = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
+    if keep > 0:
+        steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(ckpt_dir, old), ignore_errors=True)
     return path
 
 

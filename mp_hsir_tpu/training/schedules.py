@@ -87,7 +87,7 @@ def vibrate(base_lr: float, total_iter: int):
     def schedule(step):
         f = jnp.asarray(step, jnp.float32) / total_iter
         m = jnp.where(f < 1 / 8, 0.1, jnp.where(f < 1 / 4, 0.2, jnp.where(f < 1 / 2, 0.4, 0.8)))
-        t = total_iter // 80
+        t = max(total_iter // 80, 1)  # avoid %0 / /0 on short runs
         th = t * 4 // 5
         tstep = step % t
         f2 = jnp.where(tstep < th, 2.0 * tstep / t, 2.0 * (t - tstep) / t)

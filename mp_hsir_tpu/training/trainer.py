@@ -49,11 +49,15 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    # under MultiSteps the schedule advances once per OPTIMIZER update (every
+    # grad_accum micro-steps), so it must be built in optimizer-update units
+    # — steps_per_epoch is counted in micro-batches
+    updates_per_epoch = max(tc.steps_per_epoch // max(tc.grad_accum, 1), 1)
     sched = linear_warmup_cosine_annealing(
         base_lr=tc.lr,
         warmup_epochs=int(tc.warmup_frac * tc.epochs),
         max_epochs=tc.epochs,
-        steps_per_epoch=tc.steps_per_epoch,
+        steps_per_epoch=updates_per_epoch,
         eta_min=tc.eta_min,
     )
     tx = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=tc.weight_decay)

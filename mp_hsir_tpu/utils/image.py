@@ -64,17 +64,28 @@ def save_false_color(cube: np.ndarray, bands: Sequence[int], path: str) -> None:
 
 
 def load_mat_cube(path: str, key: str = "data") -> np.ndarray:
-    """Load a (C, H, W) float32 cube from a MATLAB .mat file (v5 via scipy,
-    v7.3 via h5py if available)."""
+    """Load a float32 cube from a MATLAB .mat file (v5 via scipy, v7.3 via
+    h5py if available) and return it as (C, H, W).
+
+    Dataset .mat artifacts store cubes HWC (MATLAB convention — both the
+    reference's builders and data/mat_builders.py write that layout, and the
+    reference loaders transpose(2, 0, 1) on load, lmdb_patch.py:92,185).
+    Orientation is detected: when the LAST axis is strictly smaller than
+    both others it is the band axis (HWC) and the cube is transposed;
+    otherwise it is assumed already (C, H, W). Ambiguous cubes whose band
+    count reaches their spatial size are treated as (C, H, W)."""
     import scipy.io as sio
 
     try:
-        return np.asarray(sio.loadmat(path)[key], dtype=np.float32)
+        cube = np.asarray(sio.loadmat(path)[key], dtype=np.float32)
     except NotImplementedError:
         import h5py
 
         with h5py.File(path, "r") as f:
-            return np.asarray(f[key], dtype=np.float32)
+            cube = np.asarray(f[key], dtype=np.float32)
+    if cube.ndim == 3 and cube.shape[2] < cube.shape[0] and cube.shape[2] < cube.shape[1]:
+        cube = np.ascontiguousarray(cube.transpose(2, 0, 1))  # HWC -> CHW
+    return cube
 
 
 def save_mat_cube(path: str, cube: np.ndarray, key: str = "data") -> None:

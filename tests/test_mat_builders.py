@@ -104,12 +104,21 @@ def test_apex_seeded_crops():
 
 
 def test_write_splits_roundtrip(tmp_path):
+    """The .mat artifacts are HWC on disk (MATLAB convention, same as the
+    reference's); load_mat_cube must hand them back as (C, H, W) — the
+    orientation every consumer (builders, eval datasets) expects (the
+    reference loaders transpose(2,0,1) on load, lmdb_patch.py:92,185)."""
+    from scipy.io import loadmat
+
     from mp_hsir_tpu.utils.image import load_mat_cube
 
     img = np.random.default_rng(9).uniform(0, 3, (191, 1280, 307)).astype(np.float32)
     MB.build_dataset("wdc", img, str(tmp_path))
+    raw = loadmat(str(tmp_path / "test" / "wdc_test.mat"))["data"]
+    assert raw.shape == (256, 256, 191)  # on-disk layout stays HWC
     got = load_mat_cube(str(tmp_path / "test" / "wdc_test.mat"))
-    assert got.shape == (256, 256, 191)
+    assert got.shape == (191, 256, 256)  # loader orients to CHW
+    np.testing.assert_array_equal(got, raw.transpose(2, 0, 1))
 
 
 # --- image_utils helpers (reference image_utils.py:356-596) ---

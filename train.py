@@ -50,7 +50,8 @@ def main(argv=None):
     import numpy as np
 
     from mp_hsir_tpu.config import TrainConfig, natural_scene_config, remote_sensing_config
-    from mp_hsir_tpu.data.patch_store import PatchStore
+    from mp_hsir_tpu.data.patch_store import (
+        DEFAULT_DATASET_NAMES, NATURAL_DATASET_NAMES, PatchStore)
     from mp_hsir_tpu.data.train_pipeline import TrainPipeline
     from mp_hsir_tpu.data.degradations_np import default_cirrus
     from mp_hsir_tpu.parallel.mesh import make_mesh
@@ -77,7 +78,11 @@ def main(argv=None):
 
         mc = dataclasses.replace(mc, dim=args.dim)
 
-    store = PatchStore(args.db_path)
+    # source filter per data type (the reference hard-codes the RS list and
+    # keeps the natural-scene one commented on the same line,
+    # utils/dataset_utils.py:56)
+    names = NATURAL_DATASET_NAMES if args.data_type == "natural_scene" else DEFAULT_DATASET_NAMES
+    store = PatchStore(args.db_path, dataset_names=names)
     steps_per_epoch = args.steps_per_epoch or max(len(store) // args.batch_size, 1)
     tc = TrainConfig(
         seed=args.seed, epochs=args.epochs, steps_per_epoch=steps_per_epoch,
