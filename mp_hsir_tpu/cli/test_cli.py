@@ -52,8 +52,8 @@ MODE_LABEL = {
     8: lambda c: f"Inpaint mask ratio={c.mask_ratio:f}",
     9: lambda c: f"Dehaze haze omega={c.haze_omega}",
     10: lambda c: f"Bandmiss ratio={c.bandmis_ratio:f}",
-    11: lambda c: "Degrad_Id=1",
-    12: lambda c: "Degrad_Id=1",
+    11: lambda c: f"Degrad_Id={c.degrad_id}",
+    12: lambda c: f"Degrad_Id={c.degrad_id}",
 }
 
 
@@ -191,6 +191,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask_ratio", type=float, default=0.9)
     p.add_argument("--haze_omega", type=float, default=1.0)
     p.add_argument("--bandmis_ratio", type=float, default=0.3)
+    p.add_argument("--degrad_id", type=int, default=1,
+                   help="label id printed by modes 11/12 (reference test.py:552)")
     p.add_argument("--select_bands", type=int, nargs="+", default=[27, 15, 9])
     p.add_argument("--output_path", type=str, default="output/")
     p.add_argument("--ckpt_path", type=str, default="")
@@ -225,7 +227,7 @@ def main(argv=None) -> None:
         motion_blur=tuple(args.motion_blur_radius),
         downsample_factor=args.downsample_factor,
         mask_ratio=args.mask_ratio, haze_omega=args.haze_omega,
-        bandmis_ratio=args.bandmis_ratio,
+        bandmis_ratio=args.bandmis_ratio, degrad_id=args.degrad_id,
         select_bands=tuple(args.select_bands), output_path=args.output_path,
         ckpt_path=args.ckpt_path, save_images=not args.no_save_images,
     )

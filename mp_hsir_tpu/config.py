@@ -128,6 +128,9 @@ class EvalConfig:
     haze_omega: float = 1.0
     bandmis_ratio: float = 0.3
     poisson_scale: float = 10.0
+    # label-only id printed by modes 11/12 (reference --degrad_id, default 1,
+    # test.py:552; the PROMPT those modes route is fixed at 0/1 regardless)
+    degrad_id: int = 1
     select_bands: Tuple[int, ...] = (27, 15, 9)
     output_path: str = "output/"
     ckpt_path: str = ""

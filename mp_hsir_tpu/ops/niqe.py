@@ -56,9 +56,11 @@ def _estimate_aggd(vec: np.ndarray):
 
 
 def _mscn(img: np.ndarray, sigma: float = 7 / 6) -> np.ndarray:
-    mu = gaussian_filter(img, sigma, truncate=3.0)
+    # canonical NIQE uses fspecial('gaussian', 7, 7/6): a 7x7 window
+    # (radius 3), not scipy's default truncate=4 — radius pins it exactly
+    mu = gaussian_filter(img, sigma, radius=3)
     mu_sq = mu * mu
-    var = gaussian_filter(img * img, sigma, truncate=3.0) - mu_sq
+    var = gaussian_filter(img * img, sigma, radius=3) - mu_sq
     sd = np.sqrt(np.abs(var))
     return (img - mu) / (sd + 1.0)
 

@@ -537,12 +537,17 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
     dt = x_mid.dtype
     n_chunk = w // cw
 
-    top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
-    bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
-    x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
-    xn = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps, dt)
+    # LN first, THEN zero-mask the out-of-image halo rows: the unfused chain
+    # zero-pads the dwconv input in ln-projected space, and LN(0) = ln_bias
+    # != 0 — masking the raw rows first leaks the bias into the edge-row
+    # taps (same ordering as the spectral kernel's ln branch)
+    x10 = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)  # (10, W, C)
+    xn = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps, dt).reshape(10, w, c)
+    top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
+    bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
+    xn = jnp.concatenate([top, xn[1:9], bot], axis=0)
     # zero-padded columns (scratch ref) so every chunk carries its +-1 halo
-    xn_ref[:] = jnp.pad(xn.reshape(10, w, c), ((0, 0), (1, 1), (0, 0)))
+    xn_ref[:] = jnp.pad(xn, ((0, 0), (1, 1), (0, 0)))
 
     def chunk(j, _):
         xs = xn_ref[:, pl.ds(j * cw, cw + 2), :].reshape(10 * (cw + 2), c)
@@ -917,7 +922,8 @@ def fused_window_attention(
 ) -> Array:
     nw, n, c = windows.shape
     wb = min(block_windows, nw)
-    assert nw % wb == 0, f"window count {nw} not divisible by block {wb}"
+    while nw % wb != 0:  # largest block <= requested that tiles the count
+        wb -= 1
     grid = (nw // wb,)
     nh = num_heads
     bias2d = rel_bias.reshape(nh * n, n)  # heads stacked on sublanes

@@ -69,6 +69,15 @@ TABLES = {
     },
 }
 
+# the reference's Classifier_Dataset uses blur ksizes (9, 15, 21) for BOTH
+# data types (utils/dataset_utils.py:160,166), while its restoration
+# TrainDataset narrows remote-sensing blur to (7, 11, 15) (:117) — the
+# classifier pipeline must override the shared table
+CLASSIFIER_TABLE_OVERRIDES = {
+    "natural_scene": {},
+    "remote_sensing": {"blur": dict(ksizes=(9, 15, 21))},
+}
+
 CLASSIFIER_DE_TYPES = {
     "natural_scene": ("gaussianN", "deadline", "impulse", "stripe", "blur", "sr", "inpaint"),
     "remote_sensing": ("gaussianN", "deadline", "impulse", "stripe", "blur", "sr", "inpaint", "haze"),
@@ -95,9 +104,11 @@ def make_degrader(
     de_types: Sequence[str],
     data_type: str,
     cirrus_bank: Optional[np.ndarray] = None,
+    table_overrides: Optional[dict] = None,
 ) -> Callable[[jax.Array, Array, Array], Array]:
     """Returns degrade(key, clean (C,H,W), de_id) -> degraded (C,H,W)."""
-    table = TABLES[data_type]
+    table = dict(TABLES[data_type])
+    table.update(table_overrides or {})
     branches = []
 
     for t in de_types:
@@ -218,13 +229,14 @@ def _augment_one(x: Array, mode: Array) -> Array:
 
 
 def make_batch_degrader(
-    de_types: Sequence[str], data_type: str, cirrus_bank: Optional[np.ndarray] = None
+    de_types: Sequence[str], data_type: str, cirrus_bank: Optional[np.ndarray] = None,
+    table_overrides: Optional[dict] = None,
 ):
     """degrade_batch(key, clean (B,C,H,W), de_ids (B,)) ->
     (degraded, clean) both augmented with the same per-sample mode
     (the reference draws its augmentation flag from randint(1,7) — never the
     identity — utils/image_utils.py:186-191)."""
-    degrade = make_degrader(de_types, data_type, cirrus_bank)
+    degrade = make_degrader(de_types, data_type, cirrus_bank, table_overrides)
 
     def one(key: jax.Array, clean: Array, de_id: Array):
         kd, ka = jax.random.split(key)

@@ -35,30 +35,10 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
 
 
 @lru_cache(maxsize=64)
-def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
-    """Attention mask (nW, ws*ws, ws*ws) float32 {0, -100} for SW-MSA.
-
-    Computed entirely in NumPy: under jit the (H, W) shape is static, so this
-    runs once at trace time and embeds as a constant — the reference instead
-    re-runs it on-device per forward when resolutions differ
-    (net/MP_HSIR.py:683).
-    """
-    img = np.zeros((h, w), dtype=np.int32)
-    cnt = 0
-    for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
-        for vs in (slice(0, w - ws), slice(w - ws, w - shift), slice(w - shift, w)):
-            img[hs, vs] = cnt
-            cnt += 1
-    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
-    diff = win[:, None, :] - win[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
-
-
-@lru_cache(maxsize=64)
 def shifted_region_map(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """(H, W) int32 Swin shift-region labels in ROLLED coordinates: two
-    tokens of a window may attend iff labels match. The raw map behind
-    shifted_window_labels; consumed directly by the NHWC fused kernel."""
+    tokens of a window may attend iff labels match. The single source of the
+    9-region slicing; the mask/labels views below derive from it."""
     img = np.zeros((h, w), dtype=np.int32)
     cnt = 0
     for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
@@ -74,13 +54,23 @@ def shifted_window_labels(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     window may attend each other iff their labels match — the compact
     equivalent of the (nW, N, N) additive mask (64x smaller, used by the
     fused Pallas attention)."""
-    img = np.zeros((h, w), dtype=np.int32)
-    cnt = 0
-    for hs in (slice(0, h - ws), slice(h - ws, h - shift), slice(h - shift, h)):
-        for vs in (slice(0, w - ws), slice(w - ws, w - shift), slice(w - shift, w)):
-            img[hs, vs] = cnt
-            cnt += 1
+    img = shifted_region_map(h, w, ws, shift)
     return img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+
+
+@lru_cache(maxsize=64)
+def shifted_window_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Attention mask (nW, ws*ws, ws*ws) float32 {0, -100} for SW-MSA
+    (reference net/MP_HSIR.py:639-660), derived from the label view.
+
+    Computed entirely in NumPy: under jit the (H, W) shape is static, so this
+    runs once at trace time and embeds as a constant — the reference instead
+    re-runs it on-device per forward when resolutions differ
+    (net/MP_HSIR.py:683).
+    """
+    win = shifted_window_labels(h, w, ws, shift)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
 def roll_hw(

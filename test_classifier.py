@@ -31,7 +31,8 @@ def main(argv=None):
     from mp_hsir_tpu.data.degradations_np import default_cirrus
     from mp_hsir_tpu.data.patch_store import PatchStore
     from mp_hsir_tpu.models.classifier import FFCResNet, degradation_label
-    from mp_hsir_tpu.ops.pipeline_degrade import CLASSIFIER_DE_TYPES, make_batch_degrader
+    from mp_hsir_tpu.ops.pipeline_degrade import (
+        CLASSIFIER_DE_TYPES, CLASSIFIER_TABLE_OVERRIDES, make_batch_degrader)
     from mp_hsir_tpu.utils.env import enable_compilation_cache
     from mp_hsir_tpu.utils.image import interpolate_bands
 
@@ -43,7 +44,9 @@ def main(argv=None):
 
     store = PatchStore(args.db_path)
     cirrus = np.stack([default_cirrus(seed=s) for s in range(4)]) if "haze" in de_types else None
-    degrade = jax.jit(make_batch_degrader(de_types, args.data_type, cirrus))
+    degrade = jax.jit(make_batch_degrader(
+        de_types, args.data_type, cirrus,
+        table_overrides=CLASSIFIER_TABLE_OVERRIDES[args.data_type]))
 
     model = FFCResNet(in_channel=bands, num_classes=num_classes, size=(args.size, args.size))
     sample = jnp.zeros((1, bands, 64, 64), jnp.float32)

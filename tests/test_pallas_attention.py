@@ -340,3 +340,30 @@ def test_fused_pgsstb_with_bias_falls_back():
         for n in names:
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_gdfn_nonzero_ln_bias_edges():
+    """The GDFN kernel must zero its out-of-image dwconv halo rows AFTER the
+    LayerNorm: LN(0) = ln_bias != 0, so masking the raw rows first leaked
+    the bias into the top/bottom image rows (regression: round-3 review,
+    confirmed 1.4e-2 edge-row error with a random LN bias)."""
+    from mp_hsir_tpu.models.layers import GDFN, RestormerLayerNorm
+    from mp_hsir_tpu.ops.pallas_attention import fused_ln_gdfn_nhwc
+
+    dim = 8
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    ln = RestormerLayerNorm(dim)
+    lp = ln.init(jax.random.key(9), x)["params"]
+    ln_b = jnp.asarray(RNG.standard_normal(dim).astype(np.float32))  # nonzero!
+    gd = GDFN(dim, 2.0)
+    gp = gd.init(jax.random.key(10), x)["params"]
+    want = np.asarray(gd.apply({"params": gp},
+                               ln.apply({"params": {"weight": lp["weight"], "bias": ln_b}}, x)))
+    got = np.asarray(fused_ln_gdfn_nhwc(
+        x, jnp.asarray(lp["weight"]), ln_b,
+        jnp.asarray(gp["project_in"]["weight"]),
+        jnp.asarray(gp["dwconv"]["weight"]),
+        jnp.asarray(gp["project_out"]["weight"]),
+        interpret=True,
+    ))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)

@@ -45,7 +45,8 @@ def main(argv=None):
     from mp_hsir_tpu.data.degradations_np import default_cirrus
     from mp_hsir_tpu.data.patch_store import PatchStore
     from mp_hsir_tpu.models.classifier import FFCResNet, degradation_label
-    from mp_hsir_tpu.ops.pipeline_degrade import CLASSIFIER_DE_TYPES, make_batch_degrader
+    from mp_hsir_tpu.ops.pipeline_degrade import (
+        CLASSIFIER_DE_TYPES, CLASSIFIER_TABLE_OVERRIDES, make_batch_degrader)
     from mp_hsir_tpu.parallel.distributed import initialize_distributed
     from mp_hsir_tpu.training.schedules import linear_warmup_cosine_annealing
     from mp_hsir_tpu.utils.env import enable_compilation_cache
@@ -62,7 +63,9 @@ def main(argv=None):
     steps_per_epoch = args.steps_per_epoch or max(len(store) // args.batch_size, 1)
 
     cirrus = np.stack([default_cirrus(seed=s) for s in range(4)]) if "haze" in de_types else None
-    degrade = jax.jit(make_batch_degrader(de_types, args.data_type, cirrus))
+    degrade = jax.jit(make_batch_degrader(
+        de_types, args.data_type, cirrus,
+        table_overrides=CLASSIFIER_TABLE_OVERRIDES[args.data_type]))
 
     dp = args.mesh_data
     model = FFCResNet(in_channel=bands, num_classes=num_classes,
