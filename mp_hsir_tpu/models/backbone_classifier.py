@@ -88,20 +88,25 @@ class _ResNetFeatures(nn.Module):
 
 class _VGG16Features(nn.Module):
     """torchvision vgg16 conv trunk; first conv is the reference's swapped
-    3x3 feat_dim->64 (classifier.py:58)."""
+    3x3 feat_dim->64 (classifier.py:58). The reference hooks features[28] —
+    the LAST conv's PRE-relu output, before the final maxpool
+    (classifier.py:35) — so this trunk stops there."""
 
     width: int
 
     @nn.compact
     def __call__(self, x, train: bool):
-        cfg = (1, 1, "M", 2, 2, "M", 4, 4, 4, "M", 8, 8, 8, "M", 8, 8, 8, "M")
+        cfg = (1, 1, "M", 2, 2, "M", 4, 4, 4, "M", 8, 8, 8, "M", 8, 8, 8)
         i = 0
+        n_conv = sum(1 for v in cfg if v != "M")
         for v in cfg:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
-                x = jax.nn.relu(Conv2d(self.width * v, 3, padding=1, name=f"conv{i}")(x))
+                x = Conv2d(self.width * v, 3, padding=1, name=f"conv{i}")(x)
                 i += 1
+                if i < n_conv:  # features[28] is pre-relu
+                    x = jax.nn.relu(x)
         return x
 
 
@@ -130,7 +135,9 @@ class _DenseNetFeatures(nn.Module):
                 h = jax.nn.relu(_BN(name=f"t{di}_bn")(h, train))
                 h = Conv2d(h.shape[-1] // 2, 1, use_bias=False, name=f"t{di}_conv")(h)
                 h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-        return jax.nn.relu(_BN(name="final_bn")(h, train))
+        # the reference hooks `encoder.features` = norm5 output PRE-relu
+        # (torchvision applies the relu outside features; classifier.py:40)
+        return _BN(name="final_bn")(h, train)
 
 
 class _ViTFeatures(nn.Module):
@@ -202,6 +209,7 @@ class BackboneClassifier(nn.Module):
         h = Conv2d(self.mid_dim, 1, use_bias=False, name="dec_conv")(feat)
         h = jax.nn.relu(_BN(name="dec_bn")(h, train))
         if train and self.drop_rate > 0:
-            h = nn.Dropout(self.drop_rate, deterministic=False)(h)
+            # reference uses nn.Dropout2d: whole channels drop together
+            h = nn.Dropout(self.drop_rate, broadcast_dims=(1, 2), deterministic=False)(h)
         h = jnp.mean(h, axis=(1, 2))
         return Linear(self.out_dim, name="fc")(h)

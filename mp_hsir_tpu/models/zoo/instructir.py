@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mp_hsir_tpu.ops.basic import pixel_shuffle
+from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
 from mp_hsir_tpu.models.layers import Conv2d, Linear
 from mp_hsir_tpu.models.zoo.nafnet import NAFBlock, simple_gate
 
@@ -48,6 +50,7 @@ class InstructIR(nn.Module):
     def __call__(self, inp: Array, instruction_emb: Array):
         """Returns (restored, task_logits); task_logits reproduce the
         instruction-routing auxiliary head."""
+        inp, oh, ow = pad_input(inp, 16)
         x = inp.transpose(0, 2, 3, 1)
         task_logits = Linear(self.num_tasks, name="task_head")(instruction_emb)
 
@@ -64,12 +67,11 @@ class InstructIR(nn.Module):
             h = NAFBlock(c, name=f"mid_{i}")(h)
         for li, nblk in enumerate(self.dec_blocks):
             h = Conv2d(c * 2, 1, use_bias=False, name=f"up{li}_conv")(h)
-            b, hh, ww, cc = h.shape
-            h = h.reshape(b, hh, ww, cc // 4, 2, 2).transpose(0, 1, 4, 2, 5, 3).reshape(b, hh * 2, ww * 2, cc // 4)
+            h = pixel_shuffle(h, 2)
             c //= 2
             h = h + skips[-(li + 1)]
             h = InstructionConditioning(c, name=f"icb{li}")(h, instruction_emb)
             for i in range(nblk):
                 h = NAFBlock(c, name=f"dec{li}_{i}")(h)
         out = Conv2d(self.in_channels, 3, padding=1, name="ending")(h)
-        return (out + x).transpose(0, 3, 1, 2), task_logits
+        return crop_output((out + x).transpose(0, 3, 1, 2), oh, ow), task_logits

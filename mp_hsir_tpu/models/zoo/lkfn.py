@@ -94,8 +94,10 @@ class LKFB(nn.Module):
         out = Conv2d(self.atten_dim, 1, name="c5")(jnp.concatenate([d1, d2, d3, r4], axis=-1))
         out = FreqGate(self.atten_dim, name="atten")(out)
         out = Conv2d(self.dim, 1, name="c6")(out)
-        # pixel_norm initialized at 0.1 scale (reference default_init_weights)
-        w = self.param("pixel_norm_weight", lambda k, s: jnp.full(s, 0.1), (self.dim,))
+        # the reference calls default_init_weights([pixel_norm], 0.1), but
+        # that helper only scales Conv2d/Linear/BatchNorm (arch_util.py:32-47)
+        # — LayerNorm weight stays at its default 1.0
+        w = self.param("pixel_norm_weight", nn.initializers.ones, (self.dim,))
         b = self.param("pixel_norm_bias", nn.initializers.zeros, (self.dim,))
         mu = jnp.mean(out, axis=-1, keepdims=True)
         var = jnp.var(out, axis=-1, keepdims=True)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
 from mp_hsir_tpu.models.layers import Conv2d
 from mp_hsir_tpu.ops.basic import gelu_exact, pixel_shuffle
 
@@ -144,6 +145,7 @@ class MLWNet(nn.Module):
 
     @nn.compact
     def __call__(self, inp: Array, train: bool = False):
+        inp, oh, ow = pad_input(inp, 16)
         x = inp.transpose(0, 2, 3, 1)
         d = self.dim
 
@@ -191,7 +193,7 @@ class MLWNet(nn.Module):
         for i in range(self.dec_blocks[0]):
             h = WaveletBlock(d, name=f"dec_d1_{i}")(h)
         out = Conv2d(self.in_channels, 3, padding=1, name="head1")(h)
-        out = (out + x).transpose(0, 3, 1, 2)
+        out = crop_output((out + x).transpose(0, 3, 1, 2), oh, ow)
         if train:
             heads = tuple(t.transpose(0, 3, 1, 2) for t in (head2, head3, head4))
             return out, heads

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mp_hsir_tpu.ops.basic import pixel_shuffle
+from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
 from mp_hsir_tpu.models.layers import Conv2d
 
 Array = jax.Array
@@ -61,6 +63,7 @@ class NAFNet(nn.Module):
 
     @nn.compact
     def __call__(self, inp: Array) -> Array:
+        inp, oh, ow = pad_input(inp, 16)
         x = inp.transpose(0, 2, 3, 1)
         h = Conv2d(self.width, 3, padding=1, name="intro")(x)
         skips = []
@@ -75,13 +78,10 @@ class NAFNet(nn.Module):
             h = NAFBlock(c, name=f"mid_{i}")(h)
         for li, n in enumerate(self.dec_blocks):
             h = Conv2d(c * 2, 1, use_bias=False, name=f"up{li}_conv")(h)
-            b, hh, ww, cc = h.shape
-            h = h.reshape(b, hh, ww, cc // 4, 2, 2).transpose(0, 1, 4, 2, 5, 3).reshape(
-                b, hh * 2, ww * 2, cc // 4
-            )
+            h = pixel_shuffle(h, 2)
             c //= 2
             h = h + skips[-(li + 1)]
             for i in range(n):
                 h = NAFBlock(c, name=f"dec{li}_{i}")(h)
         out = Conv2d(self.in_channels, 3, padding=1, name="ending")(h)
-        return (out + x).transpose(0, 3, 1, 2)
+        return crop_output((out + x).transpose(0, 3, 1, 2), oh, ow)

@@ -1,24 +1,30 @@
 """QRNN3D (Wei et al., TNNLS 2020) — 3-D quasi-recurrent U-Net for HSI
 denoising. Zoo counterpart of
-net/comparison_methods/denosie/qrnn/qrnn3d.py:17-152 (+redc3d/resnet).
+net/comparison_methods/denosie/qrnn/{qrnn3d,utils,combinations}.py.
 
 TPU-first redesign of the recurrence: the quasi-recurrent pooling
 ``h_t = f_t * h_{t-1} + (1 - f_t) * z_t`` along the band axis is a linear
 recurrence, so instead of a Python/sequential loop over bands (the torch
 implementation iterates band slices) it runs as one
 ``jax.lax.associative_scan`` — O(log C) depth, fully parallel on the VPU.
-Bidirectional variants scan both directions and average, matching the
-reference's alternating-direction scheme.
 
-The reference trains this family with cross-GPU SyncBN
-(denosie/sync_batchnorm); in SPMD that is just BatchNorm with psum'd
-moments — here plain BatchNorm since the zoo models are single-chip
-baselines.
+Structure matches the reference faithfully:
+* gate convs are pre-BN BasicConv3d (BatchNorm3d -> Conv3d, bn=True
+  default, combinations.py:59-64);
+* the feature extractor and the reconstructor are BIdirectional layers
+  (BiQRNNConv3D / BiQRNNDeConv3D: 3 gate groups, forward + backward scans
+  SUMMED, qrnn3d.py:80-117);
+* encoder/decoder alternate scan direction per layer, continuing across
+  the encoder/decoder boundary (utils.py:83-92, 130-137), with spatial
+  stride-2 downsampling at ``sample_idx`` and trilinear-upsample convs on
+  the way back (combinations.py:75-80);
+* skips: raw input + feature output + every encoder output except the
+  last (utils.py:30-45).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,19 +33,28 @@ from flax import linen as nn
 Array = jax.Array
 
 
-def _conv3d(x: Array, features: int, kernel: Tuple[int, int, int], stride=(1, 1, 1), name=None):
-    """3-D conv on (B, D, H, W, C) with 'same'-style torch padding."""
-    k = kernel
-    pad = tuple((kk // 2, kk // 2) for kk in k)
-    return nn.Conv(features, kernel_size=k, strides=stride, padding=pad, name=name)(x)
+class _BN3d(nn.Module):
+    """BatchNorm over the channel axis of (B, D, H, W, C); eval-style
+    running stats by default (zoo baselines; the reference trains this
+    family with SyncBN — psum'd moments — via train_classifier-style
+    axis_name plumbing when needed)."""
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, name="bn")(x)
+
+
+def _conv3d(x: Array, features: int, kernel=(3, 3, 3), stride=(1, 1, 1), name=None):
+    pad = tuple((kk // 2, kk // 2) for kk in kernel)
+    return nn.Conv(features, kernel_size=kernel, strides=stride, padding=pad,
+                   use_bias=False, name=name)(x)
 
 
 def qrnn_pool(z: Array, f: Array, reverse: bool = False) -> Array:
-    """Quasi-recurrent pooling along axis 1 (bands) via associative scan.
-
-    h_t = f_t * h_{t-1} + (1 - f_t) * z_t, h_0 = 0. The pair
-    (a, b) -> composition (a2*a1, a2*b1 + b2) is associative.
-    """
+    """Quasi-recurrent 'f pooling' along axis 1 (bands) via associative
+    scan: h_t = f_t * h_{t-1} + (1 - f_t) * z_t, h_0 = 0. The pair
+    (a, b) -> composition (a2*a1, a2*b1 + b2) is associative."""
     a = f
     b = (1.0 - f) * z
     if reverse:
@@ -57,74 +72,96 @@ def qrnn_pool(z: Array, f: Array, reverse: bool = False) -> Array:
     return h
 
 
+def _act(z: Array, act: str) -> Array:
+    if act == "tanh":
+        return jnp.tanh(z)
+    if act == "relu":
+        return jax.nn.relu(z)
+    return z  # 'none'
+
+
 class QRNNConv3D(nn.Module):
-    """Conv3D producing (z, f) gates + quasi-recurrent band pooling."""
+    """Unidirectional QRNN layer: pre-BN conv -> (z, f) gates -> f-pool."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
-    bidirectional: bool = False
+    act: str = "tanh"
+    upsample: bool = False  # trilinear x2 spatial upsample before the conv
+
+    @nn.compact
+    def __call__(self, x: Array, reverse: bool = False, train: bool = False) -> Array:
+        x = _BN3d(name="bn")(x, train)
+        if self.upsample:
+            b, d, h, w, c = x.shape
+            x = jax.image.resize(x, (b, d, h * 2, w * 2, c), method="trilinear")
+        zf = _conv3d(x, self.features * 2, self.kernel, self.stride, name="conv")
+        z, f = jnp.split(zf, 2, axis=-1)
+        return qrnn_pool(_act(z, self.act), jax.nn.sigmoid(f), reverse)
+
+
+class BiQRNNConv3D(nn.Module):
+    """Bidirectional QRNN layer: 3 gate groups (z, f_fwd, f_bwd); the two
+    directed f-pools are SUMMED (reference qrnn3d.py:103)."""
+
+    features: int
     act: str = "tanh"
 
     @nn.compact
-    def __call__(self, x: Array, reverse: bool = False) -> Array:
-        zf = _conv3d(x, self.features * 2, self.kernel, self.stride, name="conv")
-        z, f = jnp.split(zf, 2, axis=-1)
-        z = jnp.tanh(z) if self.act == "tanh" else jax.nn.relu(z)
-        f = jax.nn.sigmoid(f)
-        if self.bidirectional:
-            return 0.5 * (qrnn_pool(z, f, False) + qrnn_pool(z, f, True))
-        return qrnn_pool(z, f, reverse)
-
-
-class QRNNDeConv3D(nn.Module):
-    """Upsampling QRNN layer: nearest spatial x2 then QRNNConv3D (replaces
-    the reference's transposed conv for checker-free upsampling)."""
-
-    features: int
-    bidirectional: bool = False
-
-    @nn.compact
-    def __call__(self, x: Array, reverse: bool = False) -> Array:
-        b, d, h, w, c = x.shape
-        x = jax.image.resize(x, (b, d, h * 2, w * 2, c), method="nearest")
-        return QRNNConv3D(self.features, bidirectional=self.bidirectional, name="qconv")(x, reverse)
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = _BN3d(name="bn")(x, train)
+        gates = _conv3d(x, self.features * 3, name="conv")
+        z, f1, f2 = jnp.split(gates, 3, axis=-1)
+        z = _act(z, self.act)
+        return (qrnn_pool(z, jax.nn.sigmoid(f1), False)
+                + qrnn_pool(z, jax.nn.sigmoid(f2), True))
 
 
 class QRNNREDC3D(nn.Module):
-    """Residual encoder-decoder QRNN3D (the reference's flagship denoiser
-    preset: channels 16, 5 encoder / 5 decoder layers with stride-2 spatial
-    downsampling at layers 2 and 4, skip additions, alternating scan
-    direction per layer)."""
+    """Residual encoder-decoder QRNN3D (reference utils.py:5-46), paper
+    preset in_channels=1 (bands ride the recurrence axis), channels=16,
+    num_half_layer=5, sample_idx=(1, 3)."""
 
     channels: int = 16
-    depth: int = 5
+    num_half_layer: int = 5
+    sample_idx: Sequence[int] = (1, 3)
 
     @nn.compact
-    def __call__(self, inp: Array) -> Array:
-        # inp: (B, C, H, W) -> NDHWC with the band axis as depth: (B, C, H, W, 1)
+    def __call__(self, inp: Array, train: bool = False) -> Array:
+        # inp (B, C, H, W) -> (B, D=C, H, W, 1): bands are the scan axis
         x = inp[..., None]
         feats = self.channels
 
-        enc = []
-        h = QRNNConv3D(feats, name="feat_extractor")(x, reverse=False)
-        enc.append(h)
-        strides = [(1, 2, 2), (1, 1, 1), (1, 2, 2), (1, 1, 1)]
-        for i, s in enumerate(strides[: self.depth - 1]):
-            nf = feats * 2 if s[1] == 2 else feats
-            h = QRNNConv3D(nf, stride=s, name=f"enc_{i}")(h, reverse=(i % 2 == 0))
-            feats = nf
-            enc.append(h)
+        xs = [x]
+        out = BiQRNNConv3D(feats, name="feature_extractor")(x, train)
+        xs.append(out)
 
-        # decoder mirrors encoder with skip additions
-        for i, s in enumerate(reversed(strides[: self.depth - 1])):
-            skip = enc[-(i + 2)]
-            nf = skip.shape[-1]
-            if s[1] == 2:
-                h = QRNNDeConv3D(nf, name=f"dec_{i}")(h, reverse=(i % 2 == 1))
+        # encoder: alternate direction per layer starting forward; push
+        # every output except the last
+        reverse = False
+        for i in range(self.num_half_layer):
+            if i in self.sample_idx:
+                out = QRNNConv3D(feats * 2, stride=(1, 2, 2), name=f"enc_{i}")(out, reverse, train)
+                feats *= 2
             else:
-                h = QRNNConv3D(nf, name=f"dec_{i}")(h, reverse=(i % 2 == 1))
-            h = h + skip
+                out = QRNNConv3D(feats, name=f"enc_{i}")(out, reverse, train)
+            reverse = not reverse
+            if i < self.num_half_layer - 1:
+                xs.append(out)
 
-        out = _conv3d(h, 1, (3, 3, 3), name="reconstructor")
-        return inp + out[..., 0]
+        # decoder: first layer without skip, then skip-add before each layer
+        dec_idx = list(reversed(range(self.num_half_layer)))
+        for j, i in enumerate(dec_idx):
+            if j > 0:
+                out = out + xs.pop()
+            if i in self.sample_idx:
+                out = QRNNConv3D(feats // 2, upsample=True, name=f"dec_{i}")(out, reverse, train)
+                feats //= 2
+            else:
+                out = QRNNConv3D(feats, name=f"dec_{i}")(out, reverse, train)
+            reverse = not reverse
+
+        out = out + xs.pop()  # feature-extractor skip
+        out = BiQRNNConv3D(1, name="reconstructor")(out, train)
+        out = out + xs.pop()  # raw-input residual
+        return out[..., 0]

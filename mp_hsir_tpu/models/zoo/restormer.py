@@ -28,7 +28,6 @@ class Restormer(nn.Module):
     heads: Tuple[int, int, int, int] = (1, 2, 4, 8)
     expansion: float = 2.66
     use_bias: bool = False
-    dual_pixel: bool = False
 
     @nn.compact
     def __call__(self, inp: Array) -> Array:

@@ -110,5 +110,6 @@ class SERT(nn.Module):
                 rect = (rh, rw) if i % 2 == 0 else (rw, rh)  # alternate orientation
                 g = SERTBlock(self.dim, nh, rect, name=f"group{gi}_block{i}")(g)
             h = h + Conv2d(self.dim, 3, padding=1, name=f"group{gi}_conv")(g)
-        out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(shallow + h)
+        h = Conv2d(self.dim, 3, padding=1, name="output")(shallow + h)
+        out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(h)
         return (out + x).transpose(0, 3, 1, 2)

@@ -75,5 +75,6 @@ class SST(nn.Module):
                              0 if i % 2 == 0 else self.window_size // 2,
                              name=f"group{gi}_block{i}")(g)
             h = h + Conv2d(self.dim, 3, padding=1, name=f"group{gi}_conv")(g)
-        out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(shallow + h)
+        h = Conv2d(self.dim, 3, padding=1, name="output")(shallow + h)
+        out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(h)
         return (out + x).transpose(0, 3, 1, 2)

@@ -54,16 +54,15 @@ class StripAttention(nn.Module):
 
             out = _mha(f(q), f(k), f(v), self.heads).reshape(bs, hs, ws, c)
         else:
-            # attention across strips: tokens = strips, features pooled
-            qs = q.mean(axis=2)
-            ks = k.mean(axis=2)
-            vs = v.reshape(bs, hs, ws * c)
-            attn = jax.nn.softmax(
-                jnp.einsum("bnc,bmc->bnm", qs, ks, preferred_element_type=jnp.float32)
-                * (c**-0.5),
-                axis=-1,
-            ).astype(v.dtype)
-            out = jnp.einsum("bnm,bmf->bnf", attn, vs).reshape(bs, hs, ws, c)
+            # attention across strips: tokens = strips, features = the WHOLE
+            # flattened strip (the reference's Inter_SA attends multi-head
+            # over (B, H, C/2*W) strip embeddings, stripformer_arch.py:288-296
+            # — pooled summaries lose the positional structure)
+            def g(t):
+                return t.reshape(bs, hs, ws * c)
+
+            heads = self.heads if (ws * c) % self.heads == 0 else 1
+            out = _mha(g(q), g(k), g(v), heads).reshape(bs, hs, ws, c)
         out = Linear(c, name="proj")(out)
         return out.transpose(0, 2, 1, 3) if self.vertical else out
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
 from mp_hsir_tpu.models.layers import Conv2d, GatedMlp, LayerNorm, Linear, SpatialAttention
 from mp_hsir_tpu.ops.basic import gelu_exact, pixel_shuffle
 from mp_hsir_tpu.ops.window import shifted_window_mask, window_partition, window_reverse
@@ -88,6 +89,7 @@ class SwinIR(nn.Module):
 
     @nn.compact
     def __call__(self, inp: Array) -> Array:
+        inp, oh, ow = pad_input(inp, 8)
         x = inp.transpose(0, 2, 3, 1)
         shallow = Conv2d(self.embed_dim, 3, padding=1, name="conv_first")(x)
         h = shallow
@@ -101,4 +103,5 @@ class SwinIR(nn.Module):
             h = Conv2d(self.embed_dim * self.upscale**2, 3, padding=1, name="upsample_conv")(h)
             h = pixel_shuffle(h, self.upscale)
             out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(h)
-        return out.transpose(0, 3, 1, 2)
+        # SR outputs scale with upscale: crop in OUTPUT coordinates
+        return crop_output(out.transpose(0, 3, 1, 2), oh * self.upscale, ow * self.upscale)

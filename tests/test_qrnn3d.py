@@ -36,7 +36,7 @@ def test_qrnn_pool_reverse():
 
 
 def test_qrnn3d_forward():
-    m = QRNNREDC3D(channels=4, depth=5)
+    m = QRNNREDC3D(channels=4, num_half_layer=5, sample_idx=(1, 3))
     x = jnp.asarray(RNG.uniform(0, 1, (1, 8, 16, 16)).astype(np.float32))
     params = jax.jit(lambda r: m.init(r, x))(jax.random.key(0))
     y = jax.jit(lambda p, xx: m.apply(p, xx))(params, x)

@@ -25,7 +25,9 @@ def test_fftformer_tiny():
     from mp_hsir_tpu.models.zoo.fftformer import FFTformer
 
     m = FFTformer(in_channels=4, dim=8, depths=(1, 1, 1))
-    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 4, 16, 16)).astype(np.float32))
+    # 40x40: not a multiple of the 32 the 8x8-patch FFT at depth 2 needs —
+    # exercises the reference-style pad-and-crop path
+    x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 4, 40, 40)).astype(np.float32))
     assert _run(m, x).shape == x.shape
 
 
