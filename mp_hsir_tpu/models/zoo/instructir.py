@@ -6,6 +6,12 @@ embedding: the original encodes free-form text with a frozen sentence
 encoder; like the framework's Text_Prompt, the encoder runs offline and the
 model consumes a fixed-dim embedding (plus a task-routing head trained with
 an auxiliary classification loss).
+
+Compaction note: this zoo build keeps the instruction-conditioned NAFNet
+decoder (ICB gating on decoder levels + task head) but folds the
+reference's encoder-side ICBs and full ICB formula into the simpler
+per-level gating — a documented size compaction, not an oversight
+(reference instructir.py:194-214).
 """
 
 from __future__ import annotations

@@ -5,6 +5,11 @@ net/comparison_methods/deblur/stripformer_arch.py:331.
 Horizontal/vertical strip attention decomposes motion-blur directionality:
 intra-strip attention runs along rows (or columns), inter-strip attention
 mixes whole strips. All strips are lane-aligned batched matmuls on TPU.
+
+Compaction note: the reference's 1/4-resolution conv encoder/decoder and
+PEG positional convs are folded into a single-resolution stack; intra- and
+inter-strip attention themselves follow the reference formulation
+(multi-head over strip tokens / whole flattened strip embeddings).
 """
 
 from __future__ import annotations
