@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
 from mp_hsir_tpu.models.layers import Conv2d
+from mp_hsir_tpu.models.zoo.nafnet import NAFBlock
 from mp_hsir_tpu.ops.basic import gelu_exact, pixel_shuffle
 
 Array = jax.Array
@@ -102,30 +103,6 @@ class WaveletBlock(nn.Module):
         y = x + h * beta
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(y)
         h = Conv2d(self.c * 2, 1, name="conv4")(h)
-        a, g = jnp.split(h, 2, axis=-1)
-        h = Conv2d(self.c, 1, name="conv5")(a * g)
-        gamma = self.param("gamma", _zeros_scale(self.c))
-        return y + h * gamma
-
-
-class NAFBlock(nn.Module):
-    """Plain NAFNet block (MLWNet_arch.py:84-148)."""
-
-    c: int
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        dw = self.c * 2
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = Conv2d(dw, 1, name="conv1")(h)
-        h = Conv2d(dw, 3, padding=1, groups=dw, name="conv2")(h)
-        a, g = jnp.split(h, 2, axis=-1)
-        h = a * g
-        att = Conv2d(self.c, 1, name="sca")(jnp.mean(h, axis=(1, 2), keepdims=True))
-        h = Conv2d(self.c, 1, name="conv3")(h * att)
-        beta = self.param("beta", _zeros_scale(self.c))
-        y = x + h * beta
-        h = Conv2d(self.c * 2, 1, name="conv4")(nn.LayerNorm(epsilon=1e-6, name="norm2")(y))
         a, g = jnp.split(h, 2, axis=-1)
         h = Conv2d(self.c, 1, name="conv5")(a * g)
         gamma = self.param("gamma", _zeros_scale(self.c))
