@@ -14,8 +14,7 @@ rename.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ from mp_hsir_tpu.ops.resize import resize_bilinear, resize_bilinear_row_block, r
 from mp_hsir_tpu.ops.window import (
     roll_hw,
     shifted_region_map,
-    shifted_window_labels,
     shifted_window_mask,
     window_partition,
     window_reverse,
@@ -280,16 +278,6 @@ class GDFN(nn.Module):
 # ---------------------------------------------------------------------------
 # Attention blocks
 # ---------------------------------------------------------------------------
-
-
-def _l2norm(x: Array, axis: int, axis_name: Optional[str] = None, eps: float = 1e-12) -> Array:
-    """torch F.normalize: x / max(||x||_2, eps). With a sharded pixel axis the
-    squared-norm is psum'd across shards."""
-    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
-    if axis_name is not None:
-        sq = jax.lax.psum(sq, axis_name)
-    norm = jnp.maximum(jnp.sqrt(sq), eps)
-    return (x.astype(jnp.float32) / norm).astype(x.dtype)
 
 
 class SpectralAttention(nn.Module):
@@ -625,8 +613,16 @@ class CrossAttention(nn.Module):
 
         q, k, v = r(q), r(k), r(v)
         gram = jnp.einsum("bphd,bphe->bhde", q, k, preferred_element_type=jnp.float32)
-        nq = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1)), 1e-12)
-        nk = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1)), 1e-12)
+        nq2 = jnp.sum(jnp.square(q.astype(jnp.float32)), axis=1)
+        nk2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=1)
+        if self.axis_name is not None:
+            # pixel-global statistics must span every spatial shard, like
+            # SpectralAttention's (the dwconvs above already halo-exchange)
+            gram = jax.lax.psum(gram, self.axis_name)
+            nq2 = jax.lax.psum(nq2, self.axis_name)
+            nk2 = jax.lax.psum(nk2, self.axis_name)
+        nq = jnp.maximum(jnp.sqrt(nq2), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(nk2), 1e-12)
         attn = gram / (nq[..., :, None] * nk[..., None, :])
         temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
         attn = jax.nn.softmax(attn * temp, axis=-1).astype(v.dtype)
@@ -786,7 +782,12 @@ class TVSP(nn.Module):
 
         # (B, d): task-weighted learnable prompt, averaged over task axis
         t = (prompt_weights.astype(jnp.float32) @ text_learnable.astype(jnp.float32)) / self.task_classes
-        # torch broadcast (B,d,1,1) * (B,512) -> (B,d,1,512); NHWC: (B,1,512,d)
+        # DELIBERATE DEVIATION: the reference's (B,d,1,1) * (B,512) broadcast
+        # yields (B, d, B, 512) — at B>1 its nearest interpolation then runs
+        # over the BATCH axis, mixing samples' clip embeddings
+        # (net/MP_HSIR.py:574-575; only coherent at B=1). Here the product is
+        # per-sample, (B, 1, 512, d) in NHWC — identical to the reference for
+        # B=1 (the eval regime every parity test covers) and sane for B>1.
         tp = t[:, None, None, :] * clip_prompt.astype(jnp.float32)[:, None, :, None]
         tp = resize_nearest(tp, self.prompt_size, self.prompt_size).astype(x.dtype)
 

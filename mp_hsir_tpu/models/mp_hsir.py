@@ -96,7 +96,11 @@ class MPHSIRNet(nn.Module):
                                use_pallas=cfg.use_pallas_attention, name="fusion1")(enc1, p1)
         d1 = jnp.concatenate([d1, enc1f], axis=-1)
         dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(d1, deterministic)
-        ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp2, 0)(dec1, deterministic)
+        # the reference reuses the level-2 drop-path slice for refinement
+        # (a quirk we keep), but its slice is only nb[1] long — cycle it so
+        # num_refinement_blocks > num_blocks[1] doesn't crash at trace
+        dp_ref = tuple(dp2[i % len(dp2)] for i in range(cfg.num_refinement_blocks))
+        ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp_ref, 0)(dec1, deterministic)
 
         out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax,
                        use_pallas=cfg.use_pallas_attention, name="output")(ref)

@@ -92,6 +92,10 @@ def text_prompt_weights(task_id: np.ndarray | "jax.Array", task_classes: int):
 
     Accepts (B,) integer ids or (B, k) mixed-task ids whose one-hots are
     averaged (reference: net/MP_HSIR.py:517-525).
+
+    NOTE: under jit, out-of-range ids CLAMP to the last class (XLA gather
+    semantics) instead of raising like the reference's F.one_hot — validate
+    ids host-side at the CLI/pipeline boundary (cli/test_cli.py does).
     """
     import jax.numpy as jnp
 

@@ -81,8 +81,13 @@ def load_mat_cube(path: str, key: str = "data") -> np.ndarray:
     except NotImplementedError:
         import h5py
 
+        # MATLAB v7.3 stores column-major: h5py exposes the array with
+        # REVERSED axes ((H, W, C) on disk reads as (C, W, H)) — undo that
+        # before the orientation heuristic
         with h5py.File(path, "r") as f:
             cube = np.asarray(f[key], dtype=np.float32)
+        if cube.ndim == 3:
+            cube = np.ascontiguousarray(cube.transpose(2, 1, 0))
     if cube.ndim == 3 and cube.shape[2] < cube.shape[0] and cube.shape[2] < cube.shape[1]:
         cube = np.ascontiguousarray(cube.transpose(2, 0, 1))  # HWC -> CHW
     return cube
@@ -130,6 +135,8 @@ def data2volume(data: np.ndarray, mask, ksizes, strides) -> np.ndarray:
                  else np.zeros(patch.shape[1:], dtype=bool))
         if not np.any(pmask):
             pmin, pmax = np.min(patch), np.max(patch)
+            if pmax - pmin < 1e-8:
+                continue  # constant patch: normalizing would emit NaNs
             valid.append((patch - pmin) / (pmax - pmin))
     if valid:
         return np.stack(valid)

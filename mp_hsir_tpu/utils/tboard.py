@@ -40,6 +40,9 @@ def _masked_crc(data: bytes) -> int:
 
 
 def _varint(n: int) -> bytes:
+    # protobuf varint: negatives encode as 64-bit two's complement (and a
+    # plain arithmetic right shift on a negative int would loop forever)
+    n &= (1 << 64) - 1
     out = b""
     while True:
         b = n & 0x7F
