@@ -108,3 +108,37 @@ def test_spatial_attention_torch_oracle():
     out = (attn @ v).transpose(1, 2).reshape(bw, n, dim)
     want = (out @ w_p + b_p).numpy()
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_cross_attention_sharded_matches_unsharded():
+    """CrossAttention's pixel-global gram/norm statistics must psum over a
+    spatial mesh axis (regression: round-3 review — the advertised
+    axis_name parameter haloed the dwconvs but skipped the psums)."""
+    import numpy as np
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from mp_hsir_tpu.models.layers import CrossAttention
+    from mp_hsir_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(data=1, spatial=2)
+
+    dim, heads = 8, 2
+    rng = np.random.default_rng(21)
+    xq = jnp.asarray(rng.standard_normal((1, 8, 8, dim)).astype(np.float32))
+    xkv = jnp.asarray(rng.standard_normal((1, 8, 8, dim)).astype(np.float32))
+    plain = CrossAttention(dim, heads)
+    params = plain.init(jax.random.key(11), xq, xkv)["params"]
+    want = np.asarray(plain.apply({"params": params}, xq, xkv))
+
+    sharded = CrossAttention(dim, heads, axis_name=SPATIAL_AXIS)
+    bspec = P(None, SPATIAL_AXIS, None, None)
+    f_sh = jax.jit(jax.shard_map(
+        lambda p, a, b: sharded.apply({"params": p}, a, b),
+        mesh=mesh, in_specs=(P(), bspec, bspec), out_specs=bspec,
+        check_vma=False,
+    ))
+    got = np.asarray(f_sh(params, xq, xkv))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
