@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Training-step throughput on the current device: full SPMD train step
+(fwd + bwd + AdamW) on synthetic clean patches, reference regime (batch 32,
+64x64 patches, natural-scene preset, bf16 compute). Reports steps/s and
+patches/s after compile, forcing completion via host readback of the loss
+(block_until_ready lies on the tunneled TPU — see CLAUDE.md)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mp_hsir_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
+from mp_hsir_tpu.config import TrainConfig, natural_scene_config
+from mp_hsir_tpu.parallel.mesh import make_mesh
+from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
+
+
+def main():
+    batch = int(os.environ.get("TRAIN_BATCH", "32"))
+    patch = int(os.environ.get("TRAIN_PATCH", "64"))
+    n_steps = int(os.environ.get("TRAIN_STEPS", "20"))
+    mc = natural_scene_config(compute_dtype="bfloat16")
+    tc = TrainConfig(epochs=10, steps_per_epoch=100, batch_size=batch, patch_size=patch)
+    mesh = make_mesh(data=1, spatial=1)
+    print(f"device: {jax.devices()[0]}  batch={batch} patch={patch}")
+
+    state = create_train_state(mc, tc, jax.random.key(0))
+    step = make_train_step(mc, mesh)
+    rng = jax.random.key(1)
+    clean = jax.random.uniform(jax.random.key(2), (batch, mc.in_channels, patch, patch))
+    degraded = jnp.clip(clean + 0.1, 0, 1)
+    batch_d = {"degraded": degraded, "clean": clean,
+               "task_id": jnp.zeros((batch,), jnp.int32)}
+
+    t0 = time.perf_counter()
+    state, loss = step(state, batch_d, rng)
+    print(f"compile + first step: {time.perf_counter() - t0:.1f}s loss {float(loss):.4f}")
+    # the SECOND step on the tunneled chip pays a one-time ~60s re-layout /
+    # donation-path cost (measured; steps 3+ are steady-state) — exclude it
+    state, loss = step(state, batch_d, jax.random.fold_in(rng, 9999))
+    float(loss)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, batch_d, jax.random.fold_in(rng, i))
+        float(loss)  # host readback forces completion each step
+    dt = time.perf_counter() - t0
+    print(f"{n_steps} steps in {dt:.2f}s: {n_steps / dt:.2f} steps/s, "
+          f"{n_steps * batch / dt:.1f} patches/s")
+
+
+if __name__ == "__main__":
+    main()
