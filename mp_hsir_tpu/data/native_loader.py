@@ -1,8 +1,10 @@
 """ctypes binding for the native HSPS reader (native/hsps_loader.cpp).
 
 Falls back to the pure-NumPy PatchStore when the shared library cannot be
-built; both expose the same gather() contract, and tests assert they agree
-byte-for-byte.
+built. CONTRACT DIFFERENCE: NativePatchStore indexes the store's FULL
+patch list, while PatchStore indexes its (optionally name-filtered)
+valid_idx space — compose with PatchStore.valid_idx for filtered training.
+With no filter the two agree byte-for-byte (tests assert it).
 """
 
 from __future__ import annotations
@@ -30,15 +32,16 @@ def _build_library() -> Optional[str]:
         return None
 
 
-_lib = None
+_lib = None  # None = not tried; False = build failed (cached); else CDLL
 
 
 def _load():
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib or None
     path = _build_library()
     if path is None:
+        _lib = False  # cache the failure: don't re-spawn make every call
         return None
     lib = ctypes.CDLL(path)
     lib.hsps_open.restype = ctypes.c_void_p
@@ -74,23 +77,31 @@ class NativePatchStore:
             raise FileNotFoundError(path)
         self.n_threads = n_threads
 
+    def _handle(self):
+        if not getattr(self, "_h", None):
+            raise RuntimeError("NativePatchStore is closed")
+        return self._h
+
     def __len__(self) -> int:
-        return int(self._lib.hsps_count(self._h))
+        return int(self._lib.hsps_count(self._handle()))
 
     def shape_of(self, i: int):
         chw = (ctypes.c_int32 * 3)()
-        self._lib.hsps_shape(self._h, int(i), chw)
+        self._lib.hsps_shape(self._handle(), int(i), chw)
         return (chw[0], chw[1], chw[2])
 
     def gather(self, idxs: np.ndarray) -> np.ndarray:
         """Batched read. All requested patches must share one shape (the
         writer's 64x64xC contract); raises ValueError otherwise — use
-        `gather_grouped` for stores mixing scales."""
+        `gather_grouped` for stores mixing scales. Indices wrap Python-style
+        (negative / >= len select modulo the count, like PatchStore)."""
         idxs = np.ascontiguousarray(idxs, np.int64)
+        if len(idxs) == 0:
+            return np.empty((0,), np.float32)
         c, h, w = self.shape_of(int(idxs[0]) % len(self))
         out = np.empty((len(idxs), c, h, w), np.float32)
         rc = self._lib.hsps_gather(
-            self._h,
+            self._handle(),
             idxs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(idxs),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -101,14 +112,16 @@ class NativePatchStore:
         return out
 
     def gather_grouped(self, idxs: np.ndarray):
-        """Shape-safe gather: groups the indices by patch shape, runs one
-        native gather per group, and returns a list of arrays in the
-        ORIGINAL request order (the multi-scale builder can emit mixed
-        shapes; the homogeneous fast path stays a single batched read)."""
+        """Shape-safe gather: tries the single batched read first (the
+        native rc detects shape mixing), and only on mixed shapes groups the
+        indices and reads per group, returning a list of arrays in the
+        ORIGINAL request order."""
         idxs = np.ascontiguousarray(idxs, np.int64)
-        shapes = [self.shape_of(int(i) % len(self)) for i in idxs]
-        if len(set(shapes)) <= 1:
+        try:
             return list(self.gather(idxs))
+        except ValueError:
+            pass
+        shapes = [self.shape_of(int(i) % len(self)) for i in idxs]
         out = [None] * len(idxs)
         by_shape = {}
         for pos, s in enumerate(shapes):

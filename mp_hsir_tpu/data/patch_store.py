@@ -126,7 +126,8 @@ class PatchStore:
     def gather(self, idxs: np.ndarray) -> np.ndarray:
         """Batch-gather same-shape patches -> (B, C, H, W) float32 copy."""
         shapes = {self.shape_of(int(i)) for i in idxs}
-        assert len(shapes) == 1, f"mixed patch shapes {shapes}"
+        if len(shapes) != 1:  # explicit: asserts vanish under python -O
+            raise ValueError(f"mixed patch shapes {shapes}")
         c, h, w = shapes.pop()
         out = np.empty((len(idxs), c, h, w), np.float32)
         for j, i in enumerate(idxs):

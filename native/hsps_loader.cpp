@@ -91,9 +91,12 @@ int64_t hsps_count(void* handle) {
   return static_cast<Store*>(handle)->meta.size();
 }
 
-// c, h, w of patch i
+// c, h, w of patch i (Python-style index wrap)
 void hsps_shape(void* handle, int64_t i, int32_t* chw) {
-  const auto& m = static_cast<Store*>(handle)->meta[i];
+  auto* s = static_cast<Store*>(handle);
+  const int64_t count = static_cast<int64_t>(s->meta.size());
+  if (count == 0) { chw[0] = chw[1] = chw[2] = 0; return; }
+  const auto& m = s->meta[((i % count) + count) % count];
   chw[0] = m.c;
   chw[1] = m.h;
   chw[2] = m.w;
@@ -106,15 +109,25 @@ int hsps_gather(void* handle, const int64_t* idxs, int64_t n, float* out,
   auto* s = static_cast<Store*>(handle);
   if (n == 0) return 0;
   const int64_t count = static_cast<int64_t>(s->meta.size());
-  const auto& first = s->meta[idxs[0] % count];
+  if (count == 0) return -1;
+  // Python-style wrap: C++ % keeps the sign, so normalize to [0, count)
+  auto wrap = [count](int64_t i) { return ((i % count) + count) % count; };
+  const auto& first = s->meta[wrap(idxs[0])];
   const size_t patch_elems =
       static_cast<size_t>(first.c) * first.h * first.w;
 
   std::atomic<int> bad{0};
   auto worker = [&](int64_t lo, int64_t hi) {
     for (int64_t j = lo; j < hi; ++j) {
-      const auto& m = s->meta[idxs[j] % count];
-      if (static_cast<size_t>(m.c) * m.h * m.w != patch_elems) {
+      const auto& m = s->meta[wrap(idxs[j])];
+      // exact (c, h, w) match — equal element counts with different dims
+      // would silently reinterpret the layout
+      if (m.c != first.c || m.h != first.h || m.w != first.w) {
+        bad.store(1);
+        return;
+      }
+      const size_t end = static_cast<size_t>(m.offset) + patch_elems * sizeof(float);
+      if (end > s->bytes) {  // truncated data.bin: fail instead of SIGBUS
         bad.store(1);
         return;
       }
