@@ -412,40 +412,12 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[0] = y
 
 
-def fused_ln_gated_mlp_nhwc(
-    x: Array,       # (B, H, W, C)
-    ln_w: Array, ln_b: Array,       # (C,)
-    w1: Array, b1: Array,           # (C, 2*hidden), (2*hidden,)
-    w2: Array, b2: Array,           # (hidden, C), (C,)
-    eps: float = 1e-5,
-    residual: bool = False,
-    interpret: bool = False,
-) -> Array:
-    """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
-    over NHWC tiles: the (T, 2*hidden) intermediate never touches HBM (the
-    unfused chain writes/reads it — 2*2.66x the map size). With
-    ``residual=True`` the kernel writes ``x + mlp(ln(x))`` directly.
-
-    hidden is zero-padded up to a lane multiple (128) so the in-kernel
-    a/gate split lands on register boundaries — a split at lane 340 forces
-    Mosaic to relayout-copy the whole gate half. Padded lanes are exact
-    zeros end to end (zero w1 columns -> a_pad = 0 -> gated_pad = 0 -> zero
-    w2 rows), so the result is bit-identical."""
+def _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, *, hidden, eps, residual,
+                  interpret):
+    """Raw forward pallas_call on PRE-PADDED args (hidden lane-aligned);
+    weights arrive f32 and are cast to the compute dtype here (inside the
+    custom_vjp primal, so weight cotangents stay f32 — see pallas_vjp)."""
     b, h, w, c = x.shape
-    hidden = w2.shape[0]
-    hp = (hidden + 127) // 128 * 128
-    if hp != hidden:
-        pad = hp - hidden
-        w1 = jnp.concatenate([
-            w1[:, :hidden], jnp.zeros((c, pad), w1.dtype),
-            w1[:, hidden:], jnp.zeros((c, pad), w1.dtype),
-        ], axis=1)
-        b1 = jnp.concatenate([
-            b1[:hidden], jnp.zeros((pad,), b1.dtype),
-            b1[hidden:], jnp.zeros((pad,), b1.dtype),
-        ])
-        w2 = jnp.concatenate([w2, jnp.zeros((pad, c), w2.dtype)], axis=0)
-        hidden = hp
     cap = 256 if 2 * hidden <= 768 else 128  # keep the f32 (8*bw, 2h) live set ~<6MB
     bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
@@ -468,6 +440,49 @@ def fused_ln_gated_mlp_nhwc(
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
     )(x, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32))
+
+
+def fused_ln_gated_mlp_nhwc(
+    x: Array,       # (B, H, W, C)
+    ln_w: Array, ln_b: Array,       # (C,)
+    w1: Array, b1: Array,           # (C, 2*hidden), (2*hidden,)
+    w2: Array, b2: Array,           # (hidden, C), (C,)
+    eps: float = 1e-5,
+    residual: bool = False,
+    interpret: bool = False,
+) -> Array:
+    """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
+    over NHWC tiles: the (T, 2*hidden) intermediate never touches HBM (the
+    unfused chain writes/reads it — 2*2.66x the map size). With
+    ``residual=True`` the kernel writes ``x + mlp(ln(x))`` directly.
+
+    Differentiable: routes through the custom_vjp core in ops/pallas_vjp.py
+    whose backward is a matching Pallas slab kernel.
+
+    hidden is zero-padded up to a lane multiple (128) so the in-kernel
+    a/gate split lands on register boundaries — a split at lane 340 forces
+    Mosaic to relayout-copy the whole gate half. Padded lanes are exact
+    zeros end to end (zero w1 columns -> a_pad = 0 -> gated_pad = 0 -> zero
+    w2 rows), so the result is bit-identical."""
+    c = x.shape[-1]
+    hidden = w2.shape[0]
+    hp = (hidden + 127) // 128 * 128
+    if hp != hidden:
+        pad = hp - hidden
+        w1 = jnp.concatenate([
+            w1[:, :hidden], jnp.zeros((c, pad), w1.dtype),
+            w1[:, hidden:], jnp.zeros((c, pad), w1.dtype),
+        ], axis=1)
+        b1 = jnp.concatenate([
+            b1[:hidden], jnp.zeros((pad,), b1.dtype),
+            b1[hidden:], jnp.zeros((pad,), b1.dtype),
+        ])
+        w2 = jnp.concatenate([w2, jnp.zeros((pad, c), w2.dtype)], axis=0)
+        hidden = hp
+    from mp_hsir_tpu.ops.pallas_vjp import mlp_fused
+
+    return mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, hidden=hidden, eps=eps,
+                     residual=residual, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -608,6 +623,17 @@ def fused_ln_gdfn_nhwc(
         w_dw2 = jnp.concatenate([w_dw2[:, :hidden], z9, w_dw2[:, hidden:], z9], axis=1)
         w_out2 = jnp.concatenate([w_out2, jnp.zeros((pad, c), w_out2.dtype)], axis=0)
         hidden = hp
+    from mp_hsir_tpu.ops.pallas_vjp import gdfn_fused
+
+    return gdfn_fused(x, ln_w, ln_b, w_in2, w_dw2, w_out2, hidden=hidden,
+                      eps=eps, residual=residual, interpret=interpret)
+
+
+def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
+                   residual, interpret):
+    """Raw forward pallas_call on PRE-RESHAPED/PADDED 2-D weights (f32,
+    cast to the compute dtype here — inside the custom_vjp primal)."""
+    b, h, w, c = x.shape
     # column chunk: bigger chunks halve the fori trip count and grow the MXU
     # dots; the (10, cw+2, 2*hidden) f32 live set rides the raised 64MB
     # scoped-vmem limit (PALLAS_GDFN_CAP overrides for experiments)
