@@ -557,9 +557,10 @@ class SpatialAttentionNHWC(nn.Module):
         idx = _relative_position_index(ws)
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
         wp, bp = LinearParams(c, c, name="proj")()
+        # raw f32 params: the kernel cores cast to the compute dtype inside
+        # the custom_vjp primal so weight gradients stay f32
         return fused_ln_window_attention_nhwc(
-            x_map, ln_w, ln_b, wqkv.astype(x_map.dtype), bqkv.astype(jnp.float32),
-            bias.astype(jnp.float32), wp.astype(x_map.dtype), bp.astype(jnp.float32),
+            x_map, ln_w, ln_b, wqkv, bqkv, bias.astype(jnp.float32), wp, bp,
             region_map, self.num_heads, shift_in=shift_in,
         )
 

@@ -291,7 +291,6 @@ def fused_ln_window_attention_nhwc(
     rolled frame (as if the caller had pre-rolled). Requires a region_map."""
     b, h, w, c = x.shape
     assert h % 8 == 0 and w % 16 == 0, (h, w)
-    grid = (b, h // 8)
     # segment width (columns): seg_w/8 whole windows attend inside one
     # (8*seg_w)^2 score tile; wider segments mean fewer, bigger MXU dots at
     # more cross-window waste. 16 (128-token tiles) measured best on v5e;
@@ -306,6 +305,35 @@ def fused_ln_window_attention_nhwc(
     wqkv = jnp.concatenate(
         [(wqkv[:, :c].astype(jnp.float32) * scale).astype(wqkv.dtype), wqkv[:, c:]], axis=1)
     bqkv = jnp.concatenate([bqkv[:c] * scale, bqkv[c:]])
+
+    if not shift_in:
+        # differentiable path: custom_vjp core with a Pallas backward kernel
+        # (scale folding + segment_bias above are plain jnp and autodiff
+        # handles them; shift_in stays on the raw eval-only path below)
+        from mp_hsir_tpu.ops.pallas_vjp import window_fused
+
+        lab4d = (None if region_map is None
+                 else region_map.reshape(1, h, w, 1).astype(jnp.int32))
+        return window_fused(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
+                            num_heads=num_heads, eps=eps, seg_w=seg_w,
+                            interpret=interpret)
+    return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                         region_map, num_heads=num_heads, eps=eps,
+                         seg_w=seg_w, shift_in=shift_in, interpret=interpret)
+
+
+def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
+                  num_heads, eps, seg_w, shift_in, interpret):
+    """Raw (non-differentiable) forward pallas_call on PREPARED args (scale
+    already folded into wqkv/bqkv, bias2d segment-ordered); weights arrive
+    f32 and are cast to the compute dtype here."""
+    b, h, w, c = x.shape
+    grid = (b, h // 8)
+    dt = x.dtype
+    ln_w, ln_b = ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)
+    wqkv, bqkv = wqkv.astype(dt), bqkv.astype(jnp.float32)
+    bias2d = bias2d.astype(jnp.float32)
+    wp, bp = wp.astype(dt), bp.astype(jnp.float32)
 
     common = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w

@@ -400,3 +400,242 @@ def gdfn_fused(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps, residual,
                interpret=False):
     return _gdfn_core(hidden, float(eps), bool(residual), bool(interpret))(
         x, ln_w, ln_b, w_in2, w_dw2, w_out2)
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm + window MSA (NHWC slab): backward
+# ---------------------------------------------------------------------------
+
+
+def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
+                    bqkv_ref, bias_ref, wp_ref, bp_ref,
+                    dx_ref, dwqkv_ref, dbqkv_ref, dbias_ref, dwp_ref, dbp_ref,
+                    dlnw_ref, dlnb_ref, qkv_ref, dqkv_ref, do_ref, dyt_ref, *,
+                    num_heads, eps, seg_w, has_mask, lab_ref=None):
+    """Exact VJP of _nhwc_kernel (shift_in=False): recompute LN/qkv/attention
+    per 128-token segment and run the standard attention backward
+    (dv = A^T do, dS = A ⊙ (dA − rowsum(dA⊙A)), dq = dS k, dk = dS^T q).
+    The pooled-mean second output backflows as dy += expand(dpool)/64. The
+    -1e9 cross-window bias entries give exactly-zero attention rows after
+    softmax, so dS (and thus dbias) is exactly zero there — no gradient
+    leaks across windows."""
+    from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
+
+    _, ws8, w, c = x_ref.shape
+    dh = c // num_heads
+    n_seg = w // seg_w
+    t = 8 * seg_w
+    dt = x_ref.dtype
+
+    @pl.when(_first_step(2))
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+        dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    # --- recompute LN + qkv for the slab
+    x2 = x_ref[0].reshape(ws8 * w, c)
+    xn_f32, xhat, rstd = _ln_fwd_rows(x2, lnw_ref, lnb_ref, eps)
+    xn = xn_f32.astype(dt)
+    qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+                  + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
+
+    # --- pooled-mean backflow + output-projection backward (slab-wide)
+    gb = jnp.dot(_window_expand_mat(w), dpool_ref[0, 0].astype(jnp.float32),
+                 preferred_element_type=jnp.float32)  # (W, C)
+    dy_tot = dy_ref[0].astype(jnp.float32) + gb[None] * (1.0 / 64.0)
+    dbp_ref[:] += jnp.sum(dy_tot.reshape(ws8 * w, c), axis=0, keepdims=True)
+    dyt_ref[:] = dy_tot.astype(dt)
+    dy2 = dy_tot.reshape(ws8 * w, c).astype(dt)
+    do_all = jax.lax.dot_general(dy2, wp_ref[:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    do_ref[:] = do_all.astype(dt).reshape(ws8, w, c)
+
+    for p in range(n_seg):
+        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
+        do_seg = do_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, c)
+        dy_seg = dyt_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, c)
+        if has_mask:
+            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
+            lab_r = lab.reshape(t, 1)
+            off = lab_r != lab_r.reshape(1, t)
+        o_heads = []
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(num_heads):
+            q = qkv[:, h * dh : (h + 1) * dh]
+            k = qkv[:, c + h * dh : c + (h + 1) * dh]
+            v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
+            attn = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) + bias_ref[h * t : (h + 1) * t, :]
+            if has_mask:
+                attn = jnp.where(off, -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn_dt = attn.astype(dt)
+            o_heads.append(
+                jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))
+            do_h = do_seg[:, h * dh : (h + 1) * dh]
+            dv_heads.append(jax.lax.dot_general(
+                attn_dt, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            ds = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
+            dbias_ref[h * t : (h + 1) * t, :] += ds
+            ds_dt = ds.astype(dt)
+            dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
+            dk_heads.append(jax.lax.dot_general(
+                ds_dt, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o_seg = jnp.concatenate(o_heads, axis=1)  # (T, C)
+        dwp_ref[:] += jax.lax.dot_general(o_seg, dy_seg, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+        dqkv_seg = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=1)
+        dqkv_ref[:, pl.ds(p * seg_w, seg_w), :] = (
+            dqkv_seg.astype(dt).reshape(ws8, seg_w, 3 * c))
+
+    # --- qkv-projection + LN backward (slab-wide)
+    dqkv2 = dqkv_ref[:].reshape(ws8 * w, 3 * c)
+    dbqkv_ref[:] += jnp.sum(dqkv2.astype(jnp.float32), axis=0, keepdims=True)
+    dwqkv_ref[:] += jax.lax.dot_general(xn, dqkv2, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    dxn = jax.lax.dot_general(dqkv2, wqkv_ref[:], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dlnw_ref[:] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlnb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+    dx = _ln_bwd_rows(dxn, xhat, rstd, lnw_ref)
+    dx_ref[0] = dx.reshape(ws8, w, c).astype(dx_ref.dtype)
+
+
+def _win_bwd_kernel_masked(x_ref, dy_ref, dpool_ref, lnw, lnb, wqkv, bqkv,
+                           bias, lab, wp, bp, *rest, num_heads, eps, seg_w):
+    _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw, lnb, wqkv, bqkv, bias, wp,
+                    bp, *rest, num_heads=num_heads, eps=eps, seg_w=seg_w,
+                    has_mask=True, lab_ref=lab)
+
+
+def _win_bwd_kernel_unmasked(*refs, num_heads, eps, seg_w):
+    _win_bwd_kernel(*refs, num_heads=num_heads, eps=eps, seg_w=seg_w,
+                    has_mask=False)
+
+
+def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
+                  *, num_heads, eps, seg_w, interpret):
+    b, h, w, c = x.shape
+    dt = x.dtype
+    t = 8 * seg_w
+    blk = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    poolspec = pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def acc(shape):
+        return (
+            pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+        )
+
+    wacc = [acc((c, 3 * c)), acc((1, 3 * c)), acc((num_heads * t, t)),
+            acc((c, c)), acc((1, c)), acc((1, c)), acc((1, c))]
+    args = [x, dy, dpool, ln_w.astype(jnp.float32), ln_b.astype(jnp.float32),
+            wqkv.astype(dt), bqkv.astype(jnp.float32),
+            bias2d.astype(jnp.float32)]
+    in_specs = [blk, blk, poolspec, full, full, full, full, full]
+    if lab4d is not None:
+        kern = functools.partial(_win_bwd_kernel_masked, num_heads=num_heads,
+                                 eps=eps, seg_w=seg_w)
+        in_specs.append(pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lab4d)
+    else:
+        kern = functools.partial(_win_bwd_kernel_unmasked, num_heads=num_heads,
+                                 eps=eps, seg_w=seg_w)
+    in_specs += [full, full]
+    args += [wp.astype(dt), bp.astype(jnp.float32)]
+    out = pl.pallas_call(
+        kern,
+        grid=(b, h // 8),
+        in_specs=in_specs,
+        out_specs=[blk] + [s for s, _ in wacc],
+        out_shape=[jax.ShapeDtypeStruct((b, h, w, c), dt)] + [d for _, d in wacc],
+        scratch_shapes=[
+            pltpu.VMEM((8, w, 3 * c), dt),  # recomputed qkv
+            pltpu.VMEM((8, w, 3 * c), dt),  # dqkv
+            pltpu.VMEM((8, w, c), dt),      # do (pre-projection grad)
+            pltpu.VMEM((8, w, c), dt),      # dy_tot
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    dx, dwqkv, dbqkv, dbias, dwp, dbp, dlnw, dlnb = out
+    return dx, dwqkv, dbqkv[0], dbias, dwp, dbp[0], dlnw[0], dlnb[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
+              interpret: bool):
+    """custom_vjp core over (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp
+    [, lab4d]); wqkv/bqkv arrive SCALE-FOLDED and f32, bias2d in segment
+    order (the folding/gather are plain jnp outside — autodiff maps dbias2d
+    back onto the (nH, 64, 64) rel-pos table). Returns (map, pooled)."""
+    from mp_hsir_tpu.ops.pallas_attention import _win_raw_call
+
+    def run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
+        return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
+                             num_heads=num_heads, eps=eps, seg_w=seg_w,
+                             shift_in=False, interpret=interpret)
+
+    def run_bwd(res, cot):
+        dmap, dpool = cot
+        x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d = res
+        dx, dwqkv, dbqkv, dbias, dwp, dbp, dlnw, dlnb = _win_bwd_call(
+            x, dmap.astype(x.dtype), dpool.astype(x.dtype), ln_w, ln_b, wqkv,
+            bqkv, bias2d, wp, bp, lab4d, num_heads=num_heads, eps=eps,
+            seg_w=seg_w, interpret=interpret)
+        return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
+                dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+                dbias.astype(bias2d.dtype), dwp.astype(wp.dtype),
+                dbp.astype(bp.dtype))
+
+    if has_mask:
+        @jax.custom_vjp
+        def core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
+            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+
+        def fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
+            y = core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+            return y, (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+
+        def bwd(res, cot):
+            grads = run_bwd(res, cot)
+            lab4d = res[-1]
+            return grads + (np.zeros(lab4d.shape, jax.dtypes.float0),)
+    else:
+        @jax.custom_vjp
+        def core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp):
+            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, None)
+
+        def fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp):
+            y = core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
+            return y, (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, None)
+
+        def bwd(res, cot):
+            return run_bwd(res, cot)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def window_fused(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d, *,
+                 num_heads, eps, seg_w, interpret=False):
+    core = _win_core(num_heads, float(eps), int(seg_w), lab4d is not None,
+                     bool(interpret))
+    if lab4d is None:
+        return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
+    return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)

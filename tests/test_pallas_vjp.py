@@ -96,3 +96,70 @@ def test_gdfn_vjp(residual):
                                   residual=residual, interpret=True)
 
     _grad_check(fused, ref, (x, ln_w, ln_b, w_in, w_dw, w_out), atol=2e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_window_attention_vjp(masked):
+    """LN + window-MSA backward: both outputs (map + per-window pooled
+    means) carry cotangents; rel-pos-bias grads flow through segment_bias's
+    gather; the shift-region mask blocks cross-region gradient exactly."""
+    from mp_hsir_tpu.ops.window import shifted_region_map, window_partition, window_reverse
+
+    b, h, w, c, heads = 1, 16, 16, 8, 2
+    dh = c // heads
+    n = 64
+    x = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    ln_w = jnp.asarray(1.0 + 0.1 * RNG.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(0.1 * RNG.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(RNG.standard_normal((c, 3 * c)) * 0.3, jnp.float32)
+    bqkv = jnp.asarray(0.1 * RNG.standard_normal(3 * c), jnp.float32)
+    rel_bias = jnp.asarray(0.2 * RNG.standard_normal((heads, n, n)), jnp.float32)
+    wp = jnp.asarray(RNG.standard_normal((c, c)) * 0.3, jnp.float32)
+    bp = jnp.asarray(0.1 * RNG.standard_normal(c), jnp.float32)
+    region = jnp.asarray(shifted_region_map(h, w, 8, 4)) if masked else None
+
+    def ref(x, ln_w, ln_b, wqkv, bqkv, rel_bias, wp, bp):
+        xn = layer_norm(x, ln_w, ln_b, 1e-5)
+        win = window_partition(xn, 8)  # (Bw, 64, C)
+        bw_ = win.shape[0]
+        qkv = win @ wqkv + bqkv
+        qkv = qkv.reshape(bw_, n, 3, heads, dh).transpose(2, 0, 3, 1, 4)
+        q = qkv[0] * (dh ** -0.5)
+        att = jnp.einsum("whnd,whmd->whnm", q, qkv[1]) + rel_bias[None]
+        if masked:
+            lab = window_partition(
+                region.reshape(1, h, w, 1).astype(jnp.float32), 8
+            )[..., 0]  # (nW, 64)
+            off = lab[:, :, None] != lab[:, None, :]
+            att = jnp.where(off[:, None], -jnp.inf, att)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("whnm,whmd->wnhd", att, qkv[2]).reshape(bw_, n, c)
+        y = window_reverse(o @ wp + bp, 8, h, w)
+        pooled = y.reshape(b, h // 8, 8, w // 8, 8, c).mean(axis=(2, 4))
+        return y, pooled
+
+    def fused(x, ln_w, ln_b, wqkv, bqkv, rel_bias, wp, bp):
+        from mp_hsir_tpu.ops.pallas_attention import fused_ln_window_attention_nhwc
+        return fused_ln_window_attention_nhwc(
+            x, ln_w, ln_b, wqkv, bqkv, rel_bias, wp, bp, region, heads,
+            interpret=True)
+
+    args = (x, ln_w, ln_b, wqkv, bqkv, rel_bias, wp, bp)
+    out_ref = ref(*args)
+    cots = tuple(jnp.asarray(RNG.standard_normal(o.shape), jnp.float32)
+                 for o in out_ref)
+
+    def loss(fn):
+        def f(*a):
+            ys = fn(*a)
+            return sum(jnp.sum(y.astype(jnp.float32) * ct) for y, ct in zip(ys, cots))
+        return f
+
+    val_f, gf = jax.value_and_grad(loss(fused), argnums=tuple(range(8)))(*args)
+    val_r, gr = jax.value_and_grad(loss(ref), argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=1e-4)
+    for i, (a_, b_) in enumerate(zip(gf, gr)):
+        scale = max(1.0, float(jnp.max(jnp.abs(b_))))
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-4 * scale, rtol=1e-3,
+                                   err_msg=f"grad arg {i}")
