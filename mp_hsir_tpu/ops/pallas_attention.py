@@ -543,7 +543,15 @@ def fused_conv3x3_nhwc(
     w: Array,      # (3, 3, Cin, Cout) HWIO
     interpret: bool = False,
 ) -> Array:
-    """Bias-free stride-1 3x3 convolution with torch zero padding."""
+    """Bias-free stride-1 3x3 convolution with torch zero padding.
+    Differentiable (custom_vjp: dx through the same slab kernel with the
+    flipped-transposed weights, dw as 9 dense dots)."""
+    from mp_hsir_tpu.ops.pallas_vjp import conv3x3_fused
+
+    return conv3x3_fused(x, w, interpret=interpret)
+
+
+def _conv3_raw_call(x, w, interpret=False):
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     assert h % 8 == 0, h
@@ -878,7 +886,42 @@ def fused_spectral_attention_nhwc(
     presets use bias=False); unsharded only — callers with mesh axes fall
     back to the jnp path. With ``shifted`` the input is the ROLLED-frame map
     of a shifted PGSSTB (gate windows indexed through the roll); the output
-    is written in the unrolled frame."""
+    is written in the unrolled frame.
+
+    The plain/ln/residual configurations are differentiable (custom_vjp core
+    with a matching two-phase Pallas backward, ops/pallas_vjp.py); the
+    gate/shortcut/shifted epilogues are eval-only and stay on the raw path."""
+    b, h, w, c = x.shape
+    if gate is None and shortcut is None and not shifted:
+        from mp_hsir_tpu.ops.pallas_vjp import spectral_fused
+
+        return spectral_fused(
+            x, wqkv.reshape(c, 3 * c), wdw.reshape(9, 3 * c),
+            temperature.reshape(1, num_heads), wout.reshape(c, c),
+            ln_w, ln_b, num_heads=num_heads, eps=eps, residual=residual,
+            interpret=interpret)
+    return _spectral_raw_call(
+        x, wqkv, wdw, temperature, wout, num_heads, ln_w=ln_w, ln_b=ln_b,
+        residual=residual, gate=gate, shortcut=shortcut, shifted=shifted,
+        eps=eps, interpret=interpret)
+
+
+def _spectral_raw_call(
+    x: Array,
+    wqkv: Array,
+    wdw: Array,
+    temperature: Array,
+    wout: Array,
+    num_heads: int,
+    ln_w: Optional[Array] = None,
+    ln_b: Optional[Array] = None,
+    residual: bool = False,
+    gate: Optional[Array] = None,
+    shortcut: Optional[Array] = None,
+    shifted: bool = False,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
     b, h, w, c = x.shape
     assert h % 8 == 0, h
     ln = ln_w is not None

@@ -639,3 +639,374 @@ def window_fused(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d, *,
     if lab4d is None:
         return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
     return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+
+
+# ---------------------------------------------------------------------------
+# fused spectral (MDTA) attention: backward
+# ---------------------------------------------------------------------------
+
+
+def _spectral_bwd_kernel(x_top, x_mid, x_bot, dy_ref, wqkv_ref, wdw_ref,
+                         temp_ref, wout_ref, *rest, num_heads, n_slab, ln,
+                         eps, residual):
+    """Exact VJP of _spectral_kernel (plain / ln / residual configurations).
+
+    Mirrors the forward's two-phase streaming: phase 0 re-derives q/k/v per
+    slab and accumulates the GLOBAL small reductions (Gram, q/k norms, and
+    dC = sum_p v_p^T dy_p); the phase boundary runs the whole per-head
+    attention backward in (dh x dh) space (softmax VJP, L2-norm VJP,
+    temperature grad) producing the global coefficient matrices; phase 1
+    streams the slabs again turning those into per-pixel dq/dk/dv, then
+    backs through the depthwise-3x3 (halo-row contributions emitted as
+    dtop/dbot single-row outputs, cf. the GDFN backward) and the 1x1
+    projection [and the folded LayerNorm]."""
+    bq = pl.program_id(0)
+    phase = pl.program_id(1)
+    i = pl.program_id(2)
+    _, ws8, w, c = x_mid.shape
+    dh = c // num_heads
+    dt = x_mid.dtype
+
+    n_opt = 2 if ln else 0
+    opt = list(rest[:n_opt])
+    dx_ref, dtop_ref, dbot_ref, dwqkv_ref, dwdw_ref, dtemp_ref, dwout_ref = \
+        rest[n_opt : n_opt + 7]
+    k = n_opt + 7
+    if ln:
+        dlnw_ref, dlnb_ref = rest[k : k + 2]
+        k += 2
+    gram_ref, nq_ref, nk_ref, dC_ref, dgram_ref, aq_ref, ak_ref, comb_ref = \
+        rest[k : k + 8]
+    lnw_ref = opt[0] if ln else None
+    lnb_ref = opt[1] if ln else None
+
+    def build_x10():
+        """Returns (x10_for_conv, raw10, xhat, rstd): the (possibly LN'd)
+        edge-masked 10-row slab fed to the 1x1 conv, plus the LN residuals
+        for the backward (None when ln is off)."""
+        x10r = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)
+        if ln:
+            xn_f32, xhat, rstd = _ln_fwd_rows(x10r.reshape(10 * w, c),
+                                              lnw_ref, lnb_ref, eps)
+            xn = xn_f32.astype(dt).reshape(10, w, c)
+        else:
+            xn, xhat, rstd = x10r, None, None
+        top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
+        bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
+        return jnp.concatenate([top, xn[1:9], bot], axis=0), x10r, xhat, rstd
+
+    def conv_t(x10):
+        """conv1x1 output, column-padded: (10, W+2, 3C) dt (fwd rounding)."""
+        t = jnp.dot(x10.reshape(10 * w, c), wqkv_ref[:],
+                    preferred_element_type=jnp.float32)
+        return jnp.pad(t.astype(dt).reshape(10, w, 3 * c),
+                       ((0, 0), (1, 1), (0, 0)))
+
+    def dw_taps(tp):
+        """depthwise-3x3 forward on the padded conv output -> (8W, 3C) dt."""
+        acc = jnp.zeros((ws8, w, 3 * c), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+                acc = acc + tp[dr : dr + ws8, dc : dc + w, :].astype(jnp.float32) * wtap
+        return acc.astype(dt).reshape(ws8 * w, 3 * c)
+
+    @pl.when(_first_step(3))
+    def _():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dwdw_ref[:] = jnp.zeros_like(dwdw_ref)
+        dtemp_ref[:] = jnp.zeros_like(dtemp_ref)
+        dwout_ref[:] = jnp.zeros_like(dwout_ref)
+        if ln:
+            dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
+            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    @pl.when(jnp.logical_and(phase == 0, i == 0))
+    def _():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        nq_ref[:] = jnp.zeros_like(nq_ref)
+        nk_ref[:] = jnp.zeros_like(nk_ref)
+        dC_ref[:] = jnp.zeros_like(dC_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        x10, _, _, _ = build_x10()
+        qkv = dw_taps(conv_t(x10))
+        q = qkv[:, :c]
+        kk = qkv[:, c : 2 * c]
+        v = qkv[:, 2 * c :]
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = kk[:, h * dh : (h + 1) * dh]
+            gram_ref[h * dh : (h + 1) * dh, :] += jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+            nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+        dy2 = dy_ref[0].reshape(ws8 * w, c).astype(dt)
+        dC_ref[:] += jax.lax.dot_general(v, dy2, (((0,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    @pl.when(jnp.logical_and(phase == 1, i == 0))
+    def _():
+        for h in range(num_heads):
+            g = gram_ref[h * dh : (h + 1) * dh, :]
+            nq = jnp.maximum(jnp.sqrt(nq_ref[h, :]), 1e-12)
+            nk = jnp.maximum(jnp.sqrt(nk_ref[h, :]), 1e-12)
+            denom = nq[:, None] * nk[None, :]
+            N = g / denom
+            A = jax.nn.softmax(N * temp_ref[0, h], axis=-1)
+            wr = wout_ref[h * dh : (h + 1) * dh, :].astype(jnp.float32)
+            comb_ref[h * dh : (h + 1) * dh, :] = jax.lax.dot_general(
+                A, wr, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dC_h = dC_ref[h * dh : (h + 1) * dh, :]
+            dwout_ref[h * dh : (h + 1) * dh, :] += jnp.dot(
+                A, dC_h, preferred_element_type=jnp.float32)
+            dA = jax.lax.dot_general(wr, dC_h, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dS = A * (dA - jnp.sum(dA * A, axis=1, keepdims=True))
+            dtemp_ref[0, h] += jnp.sum(dS * N)
+            dN = dS * temp_ref[0, h]
+            dgram_ref[h * dh : (h + 1) * dh, :] = dN / denom
+            dNN = dN * N
+            aq_ref[h, :] = -jnp.sum(dNN, axis=1) / (nq * nq)
+            ak_ref[h, :] = -jnp.sum(dNN, axis=0) / (nk * nk)
+
+    @pl.when(phase == 1)
+    def _():
+        x10, x10r, xhat, rstd = build_x10()
+        tp = conv_t(x10)
+        qkv = dw_taps(tp)
+        q = qkv[:, :c]
+        kk = qkv[:, c : 2 * c]
+        dy2 = dy_ref[0].reshape(ws8 * w, c)
+        dv = jax.lax.dot_general(dy2.astype(dt), comb_ref[:].astype(dt),
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_heads, dk_heads = [], []
+        for h in range(num_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = kk[:, h * dh : (h + 1) * dh]
+            dg = dgram_ref[h * dh : (h + 1) * dh, :].astype(dt)
+            dqh = jax.lax.dot_general(kh, dg, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            dqh = dqh + qh.astype(jnp.float32) * aq_ref[h, :][None, :]
+            dkh = jnp.dot(qh, dg, preferred_element_type=jnp.float32)
+            dkh = dkh + kh.astype(jnp.float32) * ak_ref[h, :][None, :]
+            dq_heads.append(dqh)
+            dk_heads.append(dkh)
+        dqkv = jnp.concatenate(dq_heads + dk_heads + [dv], axis=1)  # (8W, 3C)
+        dacc = dqkv.reshape(ws8, w, 3 * c)
+        dtp = jnp.zeros((10, w + 2, 3 * c), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+                dwdw_ref[dr * 3 + dc, :] += jnp.sum(
+                    dacc * tp[dr : dr + ws8, dc : dc + w, :].astype(jnp.float32),
+                    axis=(0, 1))
+                upd = dtp[dr : dr + ws8, dc : dc + w, :] + dacc * wtap
+                dtp = jax.lax.dynamic_update_slice(dtp, upd, (dr, dc, 0))
+        dt10 = dtp[:, 1 : w + 1, :].reshape(10 * w, 3 * c).astype(dt)
+        dwqkv_ref[:] += jax.lax.dot_general(
+            x10.reshape(10 * w, c), dt10, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dxn10 = jax.lax.dot_general(dt10, wqkv_ref[:], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dxn10 = dxn10.reshape(10, w, c)
+        # edge rows were zero-masked after [LN] in forward -> no grad there
+        dtop_row = jnp.where(i > 0, dxn10[:1], jnp.zeros_like(dxn10[:1]))
+        dbot_row = jnp.where(i < n_slab - 1, dxn10[9:], jnp.zeros_like(dxn10[9:]))
+        dxn10 = jnp.concatenate([dtop_row, dxn10[1:9], dbot_row], axis=0)
+        if ln:
+            dxn2 = dxn10.reshape(10 * w, c)
+            dlnw_ref[:] += jnp.sum(dxn2 * xhat, axis=0, keepdims=True)
+            dlnb_ref[:] += jnp.sum(dxn2, axis=0, keepdims=True)
+            dx10 = _ln_bwd_rows(dxn2, xhat, rstd, lnw_ref).reshape(10, w, c)
+        else:
+            dx10 = dxn10
+        dx_mid = dx10[1:9]
+        if residual:
+            dx_mid = dx_mid + dy_ref[0].astype(jnp.float32)
+        dx_ref[0] = dx_mid.astype(dx_ref.dtype)
+        dtop_ref[0, 0] = dx10[0].astype(dtop_ref.dtype)
+        dbot_ref[0, 0] = dx10[9].astype(dbot_ref.dtype)
+
+
+def _spectral_bwd_call(x, dy, wqkv2, wdw2, temp2, wout2, ln_w, ln_b, *,
+                       num_heads, eps, residual, interpret):
+    b, h, w, c = x.shape
+    dt = x.dtype
+    n_slab = h // 8
+    ln = ln_w is not None
+    kern = functools.partial(_spectral_bwd_kernel, num_heads=num_heads,
+                             n_slab=n_slab, ln=ln, eps=eps, residual=residual)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    blk_stream = pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    blk_phase = pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    row_phase = pl.BlockSpec((1, 1, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def acc(shape):
+        return (
+            pl.BlockSpec(shape, lambda bi, p, i: (0,) * len(shape),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, 1, w, c), lambda bi, p, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        blk_stream,
+        pl.BlockSpec((1, 1, w, c), lambda bi, p, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
+        blk_stream,  # dy
+        full, full, full, full,
+    ]
+    args = [x, x, x, dy, wqkv2.astype(dt), wdw2.astype(dt),
+            temp2.astype(jnp.float32), wout2.astype(dt)]
+    if ln:
+        in_specs += [full, full]
+        args += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    wacc = [acc((c, 3 * c)), acc((9, 3 * c)), acc((1, num_heads)), acc((c, c))]
+    if ln:
+        wacc += [acc((1, c)), acc((1, c))]
+    out = pl.pallas_call(
+        kern,
+        grid=(b, 2, n_slab),
+        in_specs=in_specs,
+        out_specs=[blk_phase, row_phase, row_phase] + [s for s, _ in wacc],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+        ] + [d for _, d in wacc],
+        scratch_shapes=[
+            pltpu.VMEM((c, c // num_heads), jnp.float32),        # gram
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nq2
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nk2
+            pltpu.VMEM((c, c), jnp.float32),                     # dC
+            pltpu.VMEM((c, c // num_heads), jnp.float32),        # dgram
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # aq
+            pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # ak
+            pltpu.VMEM((c, c), jnp.float32),                     # comb
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    if ln:
+        dx, dtopc, dbotc, dwqkv, dwdw, dtemp, dwout, dlnw, dlnb = out
+    else:
+        dx, dtopc, dbotc, dwqkv, dwdw, dtemp, dwout = out
+        dlnw = dlnb = None
+    if n_slab > 1:
+        dxf = dx.astype(jnp.float32)
+        dxf = dxf.at[:, 7 : h - 8 : 8].add(dtopc[:, 1:].astype(jnp.float32))
+        dxf = dxf.at[:, 8:h:8].add(dbotc[:, :-1].astype(jnp.float32))
+        dx = dxf.astype(dt)
+    return dx, dwqkv, dwdw, dtemp, dwout, dlnw, dlnb
+
+
+@functools.lru_cache(maxsize=None)
+def _spectral_core(num_heads: int, eps: float, ln: bool, residual: bool,
+                   interpret: bool):
+    """custom_vjp core over (x, wqkv2 (C,3C), wdw2 (9,3C), temp2 (1,nH),
+    wout2 (C,C) [, ln_w, ln_b]); weights f32, reshaped 2-D by the caller."""
+    from mp_hsir_tpu.ops.pallas_attention import _spectral_raw_call
+
+    def run_fwd(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b):
+        c = x.shape[-1]
+        return _spectral_raw_call(
+            x, wqkv2.reshape(1, 1, c, 3 * c), wdw2.reshape(3, 3, 1, 3 * c),
+            temp2.reshape(num_heads, 1, 1), wout2.reshape(1, 1, c, c),
+            num_heads, ln_w=ln_w, ln_b=ln_b, residual=residual, eps=eps,
+            interpret=interpret)
+
+    def run_bwd(res, dy):
+        x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b = res
+        dx, dwqkv, dwdw, dtemp, dwout, dlnw, dlnb = _spectral_bwd_call(
+            x, dy.astype(x.dtype), wqkv2, wdw2, temp2, wout2, ln_w, ln_b,
+            num_heads=num_heads, eps=eps, residual=residual,
+            interpret=interpret)
+        base = (dx, dwqkv.astype(wqkv2.dtype), dwdw.astype(wdw2.dtype),
+                dtemp.astype(temp2.dtype), dwout.astype(wout2.dtype))
+        if ln:
+            return base + (dlnw[0].astype(ln_w.dtype), dlnb[0].astype(ln_b.dtype))
+        return base
+
+    if ln:
+        @jax.custom_vjp
+        def core(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b):
+            return run_fwd(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b)
+
+        def fwd(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b):
+            y = core(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b)
+            return y, (x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b)
+    else:
+        @jax.custom_vjp
+        def core(x, wqkv2, wdw2, temp2, wout2):
+            return run_fwd(x, wqkv2, wdw2, temp2, wout2, None, None)
+
+        def fwd(x, wqkv2, wdw2, temp2, wout2):
+            y = core(x, wqkv2, wdw2, temp2, wout2)
+            return y, (x, wqkv2, wdw2, temp2, wout2, None, None)
+
+    def bwd(res, dy):
+        return run_bwd(res, dy)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def spectral_fused(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b, *, num_heads,
+                   eps, residual, interpret=False):
+    core = _spectral_core(num_heads, float(eps), ln_w is not None,
+                          bool(residual), bool(interpret))
+    if ln_w is None:
+        return core(x, wqkv2, wdw2, temp2, wout2)
+    return core(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b)
+
+
+# ---------------------------------------------------------------------------
+# fused 3x3 conv: backward (transposed conv via the SAME slab kernel)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _conv3_core(interpret: bool):
+    from mp_hsir_tpu.ops.pallas_attention import _conv3_raw_call
+
+    @jax.custom_vjp
+    def core(x, w):
+        return _conv3_raw_call(x, w, interpret)
+
+    def fwd(x, w):
+        return core(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = dy.astype(x.dtype)
+        # dx = conv3x3(dy, flip(w)^T): spatially flipped, in/out swapped —
+        # exact for stride 1 / zero pad 1
+        wt = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)
+        dx = _conv3_raw_call(dy, wt, interpret)
+        # dw[dr,dc] = sum_{b,r,c} xpad[r+dr, c+dc] (x) dy[r, c] — 9 big
+        # (BHW, Cin) x (BHW, Cout) MXU dots, XLA handles these well
+        b, h, ww, cin = x.shape
+        cout = dy.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        dy2 = dy.reshape(b * h * ww, cout)
+        taps = []
+        for dr in range(3):
+            for dc in range(3):
+                xs = xp[:, dr : dr + h, dc : dc + ww, :].reshape(b * h * ww, cin)
+                taps.append(jax.lax.dot_general(
+                    xs, dy2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+        dw = jnp.stack(taps, axis=0).reshape(3, 3, cin, cout)
+        return dx, dw.astype(w.dtype)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def conv3x3_fused(x, w, interpret=False):
+    return _conv3_core(bool(interpret))(x, w)

@@ -163,3 +163,68 @@ def test_window_attention_vjp(masked):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=2e-4 * scale, rtol=1e-3,
                                    err_msg=f"grad arg {i}")
+
+
+@pytest.mark.parametrize("ln_residual", [False, True])
+def test_spectral_vjp(ln_residual):
+    """Two-phase spectral (MDTA) backward: global Gram/norm/softmax VJP,
+    dwconv halo-row gradient routing, temperature grad, and the folded
+    LayerNorm + residual variant (TransformerBlock's fused form)."""
+    from mp_hsir_tpu.ops.conv import conv2d
+
+    b, h, w, c, heads = 1, 24, 16, 8, 2
+    x = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
+    wqkv = jnp.asarray(RNG.standard_normal((1, 1, c, 3 * c)) * 0.3, jnp.float32)
+    wdw = jnp.asarray(RNG.standard_normal((3, 3, 1, 3 * c)) * 0.3, jnp.float32)
+    temp = jnp.asarray(1.0 + 0.2 * RNG.standard_normal((heads, 1, 1)), jnp.float32)
+    wout = jnp.asarray(RNG.standard_normal((1, 1, c, c)) * 0.3, jnp.float32)
+    ln_w = jnp.asarray(1.0 + 0.1 * RNG.standard_normal(c), jnp.float32)
+    ln_b = jnp.asarray(0.1 * RNG.standard_normal(c), jnp.float32)
+    dh = c // heads
+
+    def ref(x, wqkv, wdw, temp, wout, ln_w, ln_b):
+        xin = layer_norm(x, ln_w, ln_b, 1e-5) if ln_residual else x
+        qkv = conv2d(xin, wqkv, None)
+        qkv = conv2d(qkv, wdw, None, padding=1, groups=3 * c)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def r(t):
+            return t.reshape(b, h * w, heads, dh)
+
+        q, k, v = r(q), r(k), r(v)
+        gram = jnp.einsum("bphd,bphe->bhde", q, k)
+        nq = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(q), axis=1)), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(jnp.sum(jnp.square(k), axis=1)), 1e-12)
+        attn = gram / (nq[..., :, None] * nk[..., None, :])
+        attn = jax.nn.softmax(attn * temp, axis=-1)
+        wr = wout.reshape(c, c).reshape(heads, dh, c)
+        comb = jnp.einsum("bhde,hdo->bheo", attn, wr)
+        out = jnp.einsum("bphe,bheo->bpo", v, comb).reshape(b, h, w, c)
+        return x + out if ln_residual else out
+
+    def fused(x, wqkv, wdw, temp, wout, ln_w, ln_b):
+        from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
+        kw = dict(ln_w=ln_w, ln_b=ln_b, residual=True) if ln_residual else {}
+        return fused_spectral_attention_nhwc(x, wqkv, wdw, temp, wout, heads,
+                                             interpret=True, **kw)
+
+    args = (x, wqkv, wdw, temp, wout, ln_w, ln_b)
+    argnums = tuple(range(7)) if ln_residual else tuple(range(5))
+    _grad_check(fused, ref, args, atol=3e-4, argnums=argnums)
+
+
+def test_conv3x3_vjp():
+    from mp_hsir_tpu.ops.conv import conv2d
+
+    b, h, w, cin, cout = 2, 16, 12, 8, 16
+    x = jnp.asarray(RNG.standard_normal((b, h, w, cin)), jnp.float32)
+    wk = jnp.asarray(RNG.standard_normal((3, 3, cin, cout)) * 0.3, jnp.float32)
+
+    def ref(x, wk):
+        return conv2d(x, wk, None, padding=1)
+
+    def fused(x, wk):
+        from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_nhwc
+        return fused_conv3x3_nhwc(x, wk, interpret=True)
+
+    _grad_check(fused, ref, (x, wk), atol=1e-4)
