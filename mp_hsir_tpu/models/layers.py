@@ -878,10 +878,13 @@ class PGSSTB(nn.Module):
 
         shortcut = x
         fused = self.use_pallas and ws == 8 and w % 16 == 0
-        # the in-kernel epilogue bakes the residual adds in, which is only
-        # the same program when drop-path is a no-op (always true at eval;
-        # training runs the differentiable jnp path anyway)
-        dp_identity = deterministic or self.drop_path == 0.0
+        # the in-kernel epilogue bakes the residual adds in (a different
+        # program when drop-path is active) and its gate/shortcut/shifted
+        # kernel variants are eval-only (no custom VJP) — so it is gated on
+        # `deterministic`. Training takes the explicit-roll composition
+        # below: every kernel there (window MSA, plain spectral, gated MLP)
+        # is differentiable via ops/pallas_vjp.py.
+        dp_identity = deterministic
 
         if fused:
             # NHWC fused path: LN + window MSA inside one Pallas slab kernel

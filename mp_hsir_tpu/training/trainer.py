@@ -88,9 +88,10 @@ def make_train_step(
         mc,
         spatial_axis=SPATIAL_AXIS,
         spectral_axis=SPECTRAL_AXIS if SPECTRAL_AXIS in mesh.axis_names else None,
-        # the fused Pallas kernels are inference-only (no custom VJPs);
-        # training always takes the differentiable jnp path
-        use_pallas_attention=False,
+        # fused Pallas kernels are differentiable since round 2
+        # (ops/pallas_vjp.py custom VJPs with Pallas backward kernels) —
+        # training honors the config flag; tests/test_pallas_vjp.py +
+        # test_training.py assert grad parity with the jnp path
     )
     model = MPHSIRNet(model_cfg)
 

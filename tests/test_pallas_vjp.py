@@ -213,6 +213,90 @@ def test_spectral_vjp(ln_residual):
     _grad_check(fused, ref, args, atol=3e-4, argnums=argnums)
 
 
+def _interp_kernels(monkeypatch):
+    """Force interpret mode on every fused kernel entry point."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+
+    for name in ("fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+                 "fused_ln_gated_mlp_nhwc", "fused_ln_gdfn_nhwc",
+                 "fused_conv3x3_nhwc"):
+        orig = getattr(PA, name)
+
+        def interp(*a, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(*a, **kw)
+
+        monkeypatch.setattr(PA, name, interp)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_pgsstb_grad_parity(shifted, monkeypatch):
+    """Full PGSSTB training-path gradients (use_pallas=True, the branch
+    trainer.py now runs) == the jnp path, same params — the round-1 VERDICT
+    'done' criterion for turning the kernels on in training."""
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    _interp_kernels(monkeypatch)
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)) * 0.5, jnp.float32)
+
+    def block(use_pallas):
+        return PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                      shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                      compress_ratio=4, prompt_len=8,
+                      input_resolution=(64, 64), use_pallas=use_pallas)
+
+    params = block(False).init(jax.random.key(0), x, True)["params"]
+
+    def loss(use_pallas):
+        def f(p, xx):
+            y = block(use_pallas).apply({"params": p}, xx, False)
+            return jnp.sum(y * y)
+        return f
+
+    v_r, gx_r = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    v_f, gx_f = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=2e-4)
+    flat_r = jax.tree_util.tree_leaves_with_path(gx_r[0])
+    flat_f = jax.tree_util.tree_leaves(gx_f[0])
+    for (path, gr), gf in zip(flat_r, flat_f):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4 * scale, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+    scale = max(1.0, float(jnp.max(jnp.abs(gx_r[1]))))
+    np.testing.assert_allclose(np.asarray(gx_f[1]), np.asarray(gx_r[1]),
+                               atol=5e-4 * scale, rtol=2e-3, err_msg="dx")
+
+
+def test_transformer_block_grad_parity(monkeypatch):
+    """TransformerBlock fused path (spectral ln+residual kernel + GDFN
+    residual kernel) gradients == jnp path."""
+    from mp_hsir_tpu.models.layers import TransformerBlock
+
+    _interp_kernels(monkeypatch)
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)) * 0.5, jnp.float32)
+    params = TransformerBlock(dim, heads).init(jax.random.key(0), x)["params"]
+
+    def loss(use_pallas):
+        def f(p, xx):
+            y = TransformerBlock(dim, heads, use_pallas=use_pallas).apply(
+                {"params": p}, xx)
+            return jnp.sum(y * y)
+        return f
+
+    v_r, g_r = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    v_f, g_f = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=2e-4)
+    for (path, gr), gf in zip(jax.tree_util.tree_leaves_with_path(g_r[0]),
+                              jax.tree_util.tree_leaves(g_f[0])):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4 * scale, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_conv3x3_vjp():
     from mp_hsir_tpu.ops.conv import conv2d
 

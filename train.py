@@ -39,6 +39,11 @@ def build_parser():
     p.add_argument("--dim", type=int, default=None, help="model width override")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    import argparse as _ap
+
+    p.add_argument("--use_pallas", action=_ap.BooleanOptionalAction, default=None,
+                   help="fused Pallas kernels in the train step (fwd + custom-"
+                        "VJP bwd); default: auto (on for TPU, off for CPU)")
     return p
 
 
@@ -67,11 +72,16 @@ def main(argv=None):
     mesh_data = args.mesh_data or max(n_dev // args.mesh_spatial, 1)
     mesh = make_mesh(data=mesh_data, spatial=args.mesh_spatial)
 
+    use_pallas = args.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     if args.data_type == "natural_scene":
-        mc = natural_scene_config(compute_dtype=args.compute_dtype)
+        mc = natural_scene_config(compute_dtype=args.compute_dtype,
+                                  use_pallas_attention=use_pallas)
         target_bands = 31
     else:
-        mc = remote_sensing_config(compute_dtype=args.compute_dtype)
+        mc = remote_sensing_config(compute_dtype=args.compute_dtype,
+                                   use_pallas_attention=use_pallas)
         target_bands = 100
     if args.dim:
         import dataclasses
