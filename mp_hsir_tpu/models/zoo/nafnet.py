@@ -63,7 +63,8 @@ class NAFNet(nn.Module):
 
     @nn.compact
     def __call__(self, inp: Array) -> Array:
-        inp, oh, ow = pad_input(inp, 16)
+        # reference pads with ZEROS to 2^n_levels (NAFNet_arch.py:133,160-165)
+        inp, oh, ow = pad_input(inp, 2 ** len(self.enc_blocks), mode="constant")
         x = inp.transpose(0, 2, 3, 1)
         h = Conv2d(self.width, 3, padding=1, name="intro")(x)
         skips = []

@@ -22,6 +22,9 @@ Array = jax.Array
 
 
 class PromptGenBlock(nn.Module):
+    """Reference: promptir.py:217-233 (prompt bank soft-selected by pooled
+    image statistics, bilinear-resized, 3x3-conv'd — bias-free)."""
+
     prompt_dim: int
     prompt_len: int = 5
     prompt_size: int = 96
@@ -38,7 +41,7 @@ class PromptGenBlock(nn.Module):
         )
         prompt = jnp.einsum("bl,lhwc->bhwc", weights, bank.astype(x.dtype))
         prompt = resize_bilinear(prompt, h, w, align_corners=False)
-        return L.Conv2d(self.prompt_dim, 3, padding=1, name="conv3x3")(prompt)
+        return L.Conv2d(self.prompt_dim, 3, padding=1, use_bias=False, name="conv3x3")(prompt)
 
 
 class PromptIR(nn.Module):
@@ -75,12 +78,16 @@ class PromptIR(nn.Module):
         x4 = L.Downsample(d * 4, name="down3_4")(enc3)
         latent = stage("latent", d * 8, self.num_blocks[3], self.heads[3])(x4)
 
-        # prompt injection at the deepest decoder entry
+        # prompt injection at the deepest decoder entry; the noise_level
+        # blocks ALL use heads[2] and the reduce convs are 1x1 — mirrors
+        # PromptIR_2 (promptir.py:407-464, the parameterized HSI variant;
+        # the dim=48 PromptIR at :242 is the same network with its dims
+        # hard-coded)
         p3 = PromptGenBlock(self.prompt_dims[2], prompt_size=self.prompt_sizes[2], name="prompt3")(latent)
         latent = jnp.concatenate([latent, p3], axis=-1)
-        latent = L.TransformerBlock(d * 8 + self.prompt_dims[2], self.heads[3], self.expansion,
+        latent = L.TransformerBlock(d * 8 + self.prompt_dims[2], self.heads[2], self.expansion,
                                     self.use_bias, name="noise_level3")(latent)
-        latent = L.Conv2d(d * 8, 3, padding=1, use_bias=self.use_bias, name="reduce_noise3")(latent)
+        latent = L.Conv2d(d * 8, 1, use_bias=self.use_bias, name="reduce_noise_level3")(latent)
 
         d3 = L.Upsample(d * 8, name="up4_3")(latent)
         d3 = jnp.concatenate([d3, enc3], axis=-1)
@@ -91,7 +98,7 @@ class PromptIR(nn.Module):
         dec3 = jnp.concatenate([dec3, p2], axis=-1)
         dec3 = L.TransformerBlock(d * 4 + self.prompt_dims[1], self.heads[2], self.expansion,
                                   self.use_bias, name="noise_level2")(dec3)
-        dec3 = L.Conv2d(d * 4, 3, padding=1, use_bias=self.use_bias, name="reduce_noise2")(dec3)
+        dec3 = L.Conv2d(d * 4, 1, use_bias=self.use_bias, name="reduce_noise_level2")(dec3)
 
         d2 = L.Upsample(d * 4, name="up3_2")(dec3)
         d2 = jnp.concatenate([d2, enc2], axis=-1)
@@ -100,9 +107,9 @@ class PromptIR(nn.Module):
 
         p1 = PromptGenBlock(self.prompt_dims[0], prompt_size=self.prompt_sizes[0], name="prompt1")(dec2)
         dec2 = jnp.concatenate([dec2, p1], axis=-1)
-        dec2 = L.TransformerBlock(d * 2 + self.prompt_dims[0], self.heads[1], self.expansion,
+        dec2 = L.TransformerBlock(d * 2 + self.prompt_dims[0], self.heads[2], self.expansion,
                                   self.use_bias, name="noise_level1")(dec2)
-        dec2 = L.Conv2d(d * 2, 3, padding=1, use_bias=self.use_bias, name="reduce_noise1")(dec2)
+        dec2 = L.Conv2d(d * 2, 1, use_bias=self.use_bias, name="reduce_noise_level1")(dec2)
 
         d1 = L.Upsample(d * 2, name="up2_1")(dec2)
         d1 = jnp.concatenate([d1, enc1], axis=-1)

@@ -38,7 +38,7 @@ class SwinBlock(nn.Module):
     num_heads: int
     window_size: int
     shift: int
-    mlp_ratio: float = 2.0
+    mlp_ratio: float = 4.0  # reference default (network_swinir.py:649)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -63,28 +63,33 @@ class SwinBlock(nn.Module):
 
 
 class RSTB(nn.Module):
-    """Residual Swin Transformer Block group: swin blocks + conv + residual."""
+    """Residual Swin Transformer Block group: swin blocks + conv + residual
+    (reference network_swinir.py:419 — the per-RSTB patch embed/unembed are
+    pure reshapes there, elided here)."""
 
     dim: int
     depth: int
     num_heads: int
     window_size: int
+    mlp_ratio: float = 4.0
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = x
         for i in range(self.depth):
             h = SwinBlock(self.dim, self.num_heads, self.window_size,
-                          0 if i % 2 == 0 else self.window_size // 2, name=f"block_{i}")(h)
+                          0 if i % 2 == 0 else self.window_size // 2,
+                          self.mlp_ratio, name=f"block_{i}")(h)
         return x + Conv2d(self.dim, 3, padding=1, name="conv")(h)
 
 
 class SwinIR(nn.Module):
     in_channels: int = 3
-    embed_dim: int = 60
+    embed_dim: int = 96  # reference default (network_swinir.py:648)
     depths: Tuple[int, ...] = (6, 6, 6, 6)
     num_heads: Tuple[int, ...] = (6, 6, 6, 6)
     window_size: int = 8
+    mlp_ratio: float = 4.0
     upscale: int = 1  # 1 = restoration (same-size), 2/4 = SR pixel shuffle
 
     @nn.compact
@@ -92,9 +97,13 @@ class SwinIR(nn.Module):
         inp, oh, ow = pad_input(inp, 8)
         x = inp.transpose(0, 2, 3, 1)
         shallow = Conv2d(self.embed_dim, 3, padding=1, name="conv_first")(x)
-        h = shallow
+        # patch_norm LN after the (reshape-only) patch embed and the final
+        # LN before unembed (reference forward_features, :791-802)
+        h = LayerNorm(self.embed_dim, name="patch_norm")(shallow)
         for i, (d, nh) in enumerate(zip(self.depths, self.num_heads)):
-            h = RSTB(self.embed_dim, d, nh, self.window_size, name=f"layer_{i}")(h)
+            h = RSTB(self.embed_dim, d, nh, self.window_size, self.mlp_ratio,
+                     name=f"layer_{i}")(h)
+        h = LayerNorm(self.embed_dim, name="norm")(h)
         h = shallow + Conv2d(self.embed_dim, 3, padding=1, name="conv_after_body")(h)
         if self.upscale == 1:
             out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(h)

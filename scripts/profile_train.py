@@ -28,7 +28,10 @@ def main():
     batch = int(os.environ.get("TRAIN_BATCH", "32"))
     patch = int(os.environ.get("TRAIN_PATCH", "64"))
     n_steps = int(os.environ.get("TRAIN_STEPS", "20"))
-    mc = natural_scene_config(compute_dtype="bfloat16")
+    use_pallas = os.environ.get("TRAIN_PALLAS", "1") == "1"
+    mc = natural_scene_config(compute_dtype="bfloat16",
+                              use_pallas_attention=use_pallas)
+    print(f"use_pallas_attention={use_pallas}")
     tc = TrainConfig(epochs=10, steps_per_epoch=100, batch_size=batch, patch_size=patch)
     mesh = make_mesh(data=1, spatial=1)
     print(f"device: {jax.devices()[0]}  batch={batch} patch={patch}")

@@ -1,0 +1,151 @@
+"""Zoo torch-oracle parity: convert the ACTUAL vendored reference
+comparison networks' state_dicts and assert forward allclose on tiny
+configs (round-1 VERDICT next-step #2 — the zoo's faithfulness previously
+rested on smoke tests alone).
+
+Each test builds the reference torch net (CPU, eval mode), the zoo flax
+net at the same config, converts every tensor (full-coverage asserted by
+convert_zoo_state), and compares fp32 forwards."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zoo_ref_util import convert_zoo_state, load_ref
+
+torch = pytest.importorskip("torch")
+
+RNG = np.random.default_rng(42)
+
+
+def _fwd_jax(model, params, x):
+    f = jax.jit(lambda p, xx: model.apply({"params": p}, xx))
+    return np.asarray(f(params, jnp.asarray(x)))
+
+
+def _fwd_torch(net, x):
+    with torch.no_grad():
+        return net(torch.from_numpy(x)).numpy()
+
+
+_SEQ_STAGES = (r"(encoder_level\d|decoder_level\d|latent|refinement)\.(\d+)\.",
+               r"\1_\2.")
+_UPDOWN_BODY = (r"\b(down\d_\d|up\d_\d)\.body\.0\.", r"\1.conv.")
+
+
+def test_restormer_parity():
+    """reference: general/restormer_arch.py:193 (Restormer)."""
+    mod = load_ref("general/restormer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.Restormer(inp_channels=5, out_channels=5, dim=8,
+                        num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+                        heads=[1, 2, 2, 2], ffn_expansion_factor=2.66,
+                        bias=False, LayerNorm_type="WithBias").eval()
+
+    from mp_hsir_tpu.models.zoo.restormer import Restormer
+
+    model = Restormer(in_channels=5, out_channels=5, dim=8,
+                      num_blocks=(1, 1, 1, 1), num_refinement=1,
+                      heads=(1, 2, 2, 2))
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = convert_zoo_state(ref, target, rules=[_SEQ_STAGES, _UPDOWN_BODY])
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_nafnet_parity():
+    """reference: general/NAFNet_arch.py:86 (NAFNet)."""
+    mod = load_ref("general/NAFNet_arch.py")
+    torch.manual_seed(0)
+    ref = mod.NAFNet(img_channel=5, width=8, middle_blk_num=2,
+                     enc_blk_nums=[1, 1, 1, 1], dec_blk_nums=[1, 1, 1, 1]).eval()
+
+    from mp_hsir_tpu.models.zoo.nafnet import NAFNet
+
+    model = NAFNet(in_channels=5, width=8, middle_blocks=2,
+                   enc_blocks=(1, 1, 1, 1), dec_blocks=(1, 1, 1, 1))
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^encoders\.(\d+)\.(\d+)\.", r"enc\1_\2."),
+        (r"^decoders\.(\d+)\.(\d+)\.", r"dec\1_\2."),
+        (r"^middle_blks\.(\d+)\.", r"mid_\1."),
+        (r"^downs\.(\d+)\.", r"down\1."),
+        (r"^ups\.(\d+)\.0\.", r"up\1_conv."),
+        (r"\.sca\.1\.", r".sca."),
+        (r"\.(norm\d)\.weight", r".\1.scale"),
+    ]
+
+    def squeeze_bg(v):  # beta/gamma (1, C, 1, 1) -> (1, 1, 1, C)
+        return v.transpose(0, 2, 3, 1)
+
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        value_hooks=[(r"\.(beta|gamma)$", squeeze_bg)])
+    x_big = RNG.uniform(0, 1, (1, 5, 24, 24)).astype(np.float32)  # pads to 32
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(_fwd_jax(model, params, x_big),
+                               _fwd_torch(ref, x_big), atol=2e-5, rtol=1e-4)
+
+
+def test_swinir_parity():
+    """reference: general/network_swinir.py:618 (SwinIR, denoising head,
+    its `__main__` config SwinIR(in_chans=31) scaled down)."""
+    mod = load_ref("general/network_swinir.py")
+    torch.manual_seed(0)
+    ref = mod.SwinIR(img_size=16, in_chans=5, embed_dim=8, depths=[2, 2],
+                     num_heads=[2, 2], window_size=8, mlp_ratio=4.0,
+                     upscale=1, img_range=1.0, upsampler="",
+                     resi_connection="1conv").eval()
+
+    from mp_hsir_tpu.models.zoo.swinir import SwinIR
+
+    model = SwinIR(in_channels=5, embed_dim=8, depths=(2, 2),
+                   num_heads=(2, 2), window_size=8, mlp_ratio=4.0, upscale=1)
+    rules = [
+        (r"^layers\.(\d+)\.residual_group\.blocks\.(\d+)\.", r"layer_\1.block_\2."),
+        (r"^layers\.(\d+)\.conv\.", r"layer_\1.conv."),
+        (r"^patch_embed\.norm\.", r"patch_norm."),
+    ]
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = convert_zoo_state(ref, target, rules=rules, skip=(r"^mean$",))
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=2e-5, rtol=1e-4)
+    # shifted-window masks recompute for non-multiple sizes (reflect pad)
+    x_odd = RNG.uniform(0, 1, (1, 5, 13, 11)).astype(np.float32)
+    np.testing.assert_allclose(_fwd_jax(model, params, x_odd),
+                               _fwd_torch(ref, x_odd), atol=2e-5, rtol=1e-4)
+
+
+def test_promptir_parity():
+    """reference: promptir.py:385 (PromptIR_2, the parameterized HSI
+    variant; PromptIR at :242 is the same net with dim=48 hard-coded),
+    decoder=True."""
+    mod = load_ref("promptir.py")
+    torch.manual_seed(0)
+    ref = mod.PromptIR_2(in_channel=5, out_channel=5, dim=8,
+                         num_blocks=[1, 1, 1, 1], prompt_dim=[8, 16, 24],
+                         num_refinement_blocks=1, heads=[1, 2, 2, 2],
+                         decoder=True).eval()
+
+    from mp_hsir_tpu.models.zoo.promptir import PromptIR
+
+    model = PromptIR(in_channels=5, dim=8, num_blocks=(1, 1, 1, 1),
+                     num_refinement=1, heads=(1, 2, 2, 2),
+                     prompt_dims=(8, 16, 24), prompt_sizes=(64, 32, 16))
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+
+    def bank(v):  # (1, L, C, s, s) -> (L, s, s, C)
+        return v[0].transpose(0, 2, 3, 1)
+
+    params = convert_zoo_state(
+        ref, target, rules=[_SEQ_STAGES, _UPDOWN_BODY],
+        value_hooks=[(r"prompt_param$", bank)])
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=3e-5, rtol=1e-4)
