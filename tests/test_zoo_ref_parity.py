@@ -122,6 +122,61 @@ def test_swinir_parity():
                                _fwd_torch(ref, x_odd), atol=2e-5, rtol=1e-4)
 
 
+def test_sst_parity():
+    """reference: denosie/SST.py:347 (SST) — sequential window->spectral
+    attention inside one residual, plain MLP."""
+    mod = load_ref("denosie/SST.py")
+    torch.manual_seed(0)
+    ref = mod.SST(inp_channels=5, dim=8, window_size=8, depths=[2, 2],
+                  num_heads=[2, 2], mlp_ratio=2).eval()
+
+    from mp_hsir_tpu.models.zoo.sst import SST
+
+    model = SST(in_channels=5, dim=8, depths=(2, 2), num_heads=(2, 2),
+                window_size=8, mlp_ratio=2.0)
+    rules = [
+        (r"^layers\.(\d+)\.smsblock\.(\d+)\.", r"group\1_block\2."),
+        (r"^layers\.(\d+)\.conv\.", r"group\1_conv."),
+        (r"\.spectral_attn\.", r".spectral_attn."),
+    ]
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = convert_zoo_state(ref, target, rules=rules)
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_sert_parity():
+    """reference: denosie/sert.py:414 (SERT) — dual-rectangle LePE window
+    attention, CAB memory-bank channel branch, maskless shifts."""
+    mod = load_ref("denosie/sert.py")
+    torch.manual_seed(0)
+    ref = mod.SERT(inp_channels=5, dim=8, window_sizes=[8, 8], depths=[2, 2],
+                   num_heads=[2, 2], split_sizes=[1, 2], mlp_ratio=2,
+                   down_rank=4, memory_blocks=16).eval()
+
+    from mp_hsir_tpu.models.zoo.sert import SERT
+
+    model = SERT(in_channels=5, dim=8, depths=(2, 2), num_heads=(2, 2),
+                 window_sizes=(8, 8), split_sizes=(1, 2), mlp_ratio=2.0,
+                 down_rank=4, memory_blocks=16)
+    rules = [
+        (r"^layers\.(\d+)\.smsblock\.(\d+)\.", r"group\1_block\2."),
+        (r"^layers\.(\d+)\.conv\.", r"group\1_conv."),
+        (r"\.attns\.attns\.(\d)\.", r".attns.attns_\1."),
+        (r"\.c_attns\.cab\.0\.", r".c_attns.cab_0."),
+        (r"\.c_attns\.cab\.2\.", r".c_attns.cab_2."),
+        (r"\.c_attns\.cab\.3\.subnet\.0\.", r".c_attns.cab_3.subnet_0."),
+        (r"\.c_attns\.cab\.3\.upnet\.0\.", r".c_attns.cab_3.upnet_0."),
+        (r"\.c_attns\.cab\.3\.mb$", r".c_attns.cab_3.mb"),
+    ]
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = convert_zoo_state(ref, target, rules=rules)
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_promptir_parity():
     """reference: promptir.py:385 (PromptIR_2, the parameterized HSI
     variant; PromptIR at :242 is the same net with dim=48 hard-coded),

@@ -36,6 +36,13 @@ def load_ref(relpath: str):
         turtle = types.ModuleType("turtle")
         turtle.forward = None
         sys.modules["turtle"] = turtle
+    if "tkinter" not in sys.modules:  # sert.py does `from tkinter import W`
+        try:
+            import tkinter  # noqa: F401
+        except ImportError:
+            tk = types.ModuleType("tkinter")
+            tk.W = "w"
+            sys.modules["tkinter"] = tk
     # general/utils/img_util.py (reached via arch_util) wants torchvision
     # and cv2 at import time; neither is used by the networks' forwards
     tvu = sys.modules.get("torchvision.utils")
