@@ -81,7 +81,10 @@ def _act(z: Array, act: str) -> Array:
 
 
 class QRNNConv3D(nn.Module):
-    """Unidirectional QRNN layer: pre-BN conv -> (z, f) gates -> f-pool."""
+    """Unidirectional QRNN layer: pre-BN conv -> (z, f) gates -> f-pool.
+    The reference decoder's ConvTranspose3d(k=3, s=1, p=1) layers are plain
+    convolutions with spatially flipped kernels — the weight converter
+    flips them, so this module serves conv and 'deconv' layers alike."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -93,8 +96,14 @@ class QRNNConv3D(nn.Module):
     def __call__(self, x: Array, reverse: bool = False, train: bool = False) -> Array:
         x = _BN3d(name="bn")(x, train)
         if self.upsample:
+            # reference UpsampleConv3d: trilinear ALIGN_CORNERS upsample of
+            # (1, 2, 2) then conv (combinations.py:93-116); depth scale 1
+            # degenerates to per-band align-corners bilinear
+            from mp_hsir_tpu.ops.resize import resize_bilinear
+
             b, d, h, w, c = x.shape
-            x = jax.image.resize(x, (b, d, h * 2, w * 2, c), method="trilinear")
+            x = resize_bilinear(x.reshape(b * d, h, w, c), h * 2, w * 2,
+                                align_corners=True).reshape(b, d, h * 2, w * 2, c)
         zf = _conv3d(x, self.features * 2, self.kernel, self.stride, name="conv")
         z, f = jnp.split(zf, 2, axis=-1)
         return qrnn_pool(_act(z, self.act), jax.nn.sigmoid(f), reverse)
@@ -106,11 +115,14 @@ class BiQRNNConv3D(nn.Module):
 
     features: int
     act: str = "tanh"
+    use_bias: bool = False  # reconstructor deconv has bias (utils.py:28)
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         x = _BN3d(name="bn")(x, train)
-        gates = _conv3d(x, self.features * 3, name="conv")
+        gates = nn.Conv(self.features * 3, kernel_size=(3, 3, 3),
+                        padding=((1, 1), (1, 1), (1, 1)),
+                        use_bias=self.use_bias, name="conv")(x)
         z, f1, f2 = jnp.split(gates, 3, axis=-1)
         z = _act(z, self.act)
         return (qrnn_pool(z, jax.nn.sigmoid(f1), False)
@@ -162,6 +174,6 @@ class QRNNREDC3D(nn.Module):
             reverse = not reverse
 
         out = out + xs.pop()  # feature-extractor skip
-        out = BiQRNNConv3D(1, name="reconstructor")(out, train)
+        out = BiQRNNConv3D(1, use_bias=True, name="reconstructor")(out, train)
         out = out + xs.pop()  # raw-input residual
         return out[..., 0]

@@ -177,6 +177,57 @@ def test_sert_parity():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_qrnn3d_parity():
+    """reference: denosie/qrnn/{qrnn3d,utils,combinations}.py (QRNNREDC3D).
+    The associative-scan recurrence must match the sequential torch loop;
+    decoder ConvTranspose3d(k3,s1,p1) layers convert to flipped convs; the
+    upsample is ALIGN-CORNERS trilinear (combinations.py:105)."""
+    mod = load_ref("denosie/qrnn/qrnn3d.py")
+    torch.manual_seed(0)
+    nhl, sample_idx = 3, [1]
+    ref = mod.QRNNREDC3D(1, 4, nhl, sample_idx).eval()
+
+    from mp_hsir_tpu.models.zoo.qrnn3d import QRNNREDC3D
+
+    model = QRNNREDC3D(channels=4, num_half_layer=nhl, sample_idx=tuple(sample_idx))
+    x = RNG.uniform(0, 1, (1, 8, 16, 16)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x))
+
+    rules = [
+        (r"^feature_extractor\.conv\.bn\.", "feature_extractor.bn.bn."),
+        (r"^feature_extractor\.conv\.conv\.weight$", "feature_extractor.conv.kernel"),
+        (r"^reconstructor\.conv\.bn\.", "reconstructor.bn.bn."),
+        (r"^reconstructor\.conv\.deconv\.weight$", "reconstructor.conv.kernel"),
+        (r"^reconstructor\.conv\.deconv\.bias$", "reconstructor.conv.bias"),
+        (r"^encoder\.layers\.(\d+)\.conv\.bn\.", r"enc_\1.bn.bn."),
+        (r"^encoder\.layers\.(\d+)\.conv\.conv\.weight$", r"enc_\1.conv.kernel"),
+    ]
+    for j in range(nhl):
+        i = nhl - 1 - j
+        rules += [
+            (rf"^decoder\.layers\.{j}\.conv\.bn\.", f"dec_{i}.bn.bn."),
+            (rf"^decoder\.layers\.{j}\.conv\.deconv\.weight$", f"dec_{i}.conv.kernel"),
+            (rf"^decoder\.layers\.{j}\.conv\.upsample_conv\.conv3d\.weight$",
+             f"dec_{i}.conv.kernel"),
+        ]
+    value_hooks = [
+        (r"(\.conv\.conv|\.conv3d)\.weight$", lambda v: v.transpose(2, 3, 4, 1, 0)),
+        (r"\.deconv\.weight$",
+         lambda v: np.flip(v, (2, 3, 4)).transpose(2, 3, 4, 0, 1).copy()),
+    ]
+    from zoo_ref_util import convert_zoo_variables
+
+    variables = convert_zoo_variables(ref, variables, rules=rules,
+                                      value_hooks=value_hooks,
+                                      skip=(r"num_batches_tracked$",))
+    f = jax.jit(lambda v, xx: model.apply(v, xx))
+    got = np.asarray(f(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        # torch side takes (B, 1, D, H, W): bands ride the depth axis
+        want = ref(torch.from_numpy(x[:, None])).numpy()[:, 0]
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
 def test_promptir_parity():
     """reference: promptir.py:385 (PromptIR_2, the parameterized HSI
     variant; PromptIR at :242 is the same net with dim=48 hard-coded),

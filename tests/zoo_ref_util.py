@@ -68,17 +68,33 @@ def load_ref(relpath: str):
         gu = types.ModuleType("general.utils")
         gu.get_root_logger = lambda *a, **k: logging.getLogger("ref_zoo")
         sys.modules["general.utils"] = gu
-    path = f"{_ROOT}/{relpath}"
-    name = "ref_zoo_" + relpath.replace("/", "_").removesuffix(".py")
-    spec = importlib.util.spec_from_file_location(name, path)
-    mod = importlib.util.module_from_spec(spec)
+    # qrnn/combinations.py imports the external sync_batchnorm package;
+    # at eval SyncBN == BatchNorm
+    if "sync_batchnorm" not in sys.modules:
+        import torch.nn as _nn
+
+        sbn = types.ModuleType("sync_batchnorm")
+        sbn.SynchronizedBatchNorm1d = _nn.BatchNorm1d
+        sbn.SynchronizedBatchNorm2d = _nn.BatchNorm2d
+        sbn.SynchronizedBatchNorm3d = _nn.BatchNorm3d
+        sys.modules["sync_batchnorm"] = sbn
     added = []
     for extra in (_ROOT, f"{_ROOT}/general", f"{_ROOT}/denosie", f"{_ROOT}/deblur"):
         if extra not in sys.path:
             sys.path.insert(0, extra)
             added.append(extra)
     try:
-        spec.loader.exec_module(mod)
+        if "/qrnn/" in relpath:
+            # qrnn is a real package with relative imports — import it as one
+            import importlib as _il
+
+            mod = _il.import_module("qrnn." + relpath.rsplit("/", 1)[1].removesuffix(".py"))
+        else:
+            path = f"{_ROOT}/{relpath}"
+            name = "ref_zoo_" + relpath.replace("/", "_").removesuffix(".py")
+            spec = importlib.util.spec_from_file_location(name, path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
     finally:
         for extra in added:
             sys.path.remove(extra)
@@ -86,22 +102,30 @@ def load_ref(relpath: str):
     return mod
 
 
-def convert_zoo_state(ref_net, target_params, rules=(), value_hooks=(),
-                      skip=()):
-    """torch state_dict -> flax params with per-net key/value rewrites.
-    Asserts FULL coverage: every torch tensor lands (or is explicitly in
-    `skip`), every flax leaf is written."""
+def _map_state(ref_net, rules, value_hooks, skip):
+    """state_dict -> {mapped_key: value}; value hooks match the ORIGINAL
+    torch key (so layout fixes can distinguish modules that map to the
+    same flax name)."""
     sd = {k: v.detach().float().numpy() for k, v in ref_net.state_dict().items()}
     mapped = {}
     for k, v in sd.items():
         if any(re.search(p, k) for p in skip):
             continue
-        for pat, rep in rules:
-            k = re.sub(pat, rep, k)
         for pat, fn in value_hooks:
             if re.search(pat, k):
                 v = fn(v)
+        for pat, rep in rules:
+            k = re.sub(pat, rep, k)
         mapped[k] = v
+    return mapped
+
+
+def convert_zoo_state(ref_net, target_params, rules=(), value_hooks=(),
+                      skip=()):
+    """torch state_dict -> flax params with per-net key/value rewrites.
+    Asserts FULL coverage: every torch tensor lands (or is explicitly in
+    `skip`), every flax leaf is written."""
+    mapped = _map_state(ref_net, rules, value_hooks, skip)
     params, report = convert_torch_state(mapped, target_params)
     assert not report["unmatched"], f"unmatched: {report['unmatched'][:10]}"
     assert not report["shape_skipped"], f"shape: {report['shape_skipped'][:10]}"
@@ -109,3 +133,47 @@ def convert_zoo_state(ref_net, target_params, rules=(), value_hooks=(),
     assert len(report["loaded"]) == n_leaves, (
         f"loaded {len(report['loaded'])} of {n_leaves} leaves")
     return params
+
+
+def convert_zoo_variables(ref_net, target_vars, rules=(), value_hooks=(),
+                          skip=()):
+    """Like convert_zoo_state but for models with BatchNorm: rules must map
+    torch keys onto the flax path with BN leaves named weight/bias/
+    running_mean/running_var at `<...>.bn.` — they are routed to
+    params scale/bias and batch_stats mean/var."""
+    import jax.numpy as jnp
+
+    mapped = _map_state(ref_net, rules, value_hooks, skip)
+    params_flat = _flatten(target_vars["params"])
+    stats_flat = _flatten(target_vars.get("batch_stats", {}))
+    n_target = len(params_flat) + len(stats_flat)
+    loaded = 0
+    from mp_hsir_tpu.training.checkpoint import _adapt, _unflatten
+
+    for k, v in mapped.items():
+        path = tuple(k.split("."))
+        leaf = path[-1]
+        if leaf in ("running_mean", "running_var"):
+            dest = path[:-1] + ("mean" if leaf == "running_mean" else "var",)
+            assert dest in stats_flat, f"no batch_stats leaf {dest}"
+            assert v.shape == stats_flat[dest].shape, (k, v.shape)
+            stats_flat[dest] = v
+            loaded += 1
+            continue
+        if path[:-1] and path[-2] == "bn" and leaf in ("weight", "bias"):
+            dest = path[:-1] + ("scale" if leaf == "weight" else "bias",)
+            if dest in params_flat:
+                assert v.shape == params_flat[dest].shape, (k, v.shape)
+                params_flat[dest] = v
+                loaded += 1
+                continue
+        assert path in params_flat, f"unmatched {k}"
+        adapted = _adapt(v, params_flat[path], path)
+        assert adapted is not None, f"shape mismatch {k}: {v.shape}"
+        params_flat[path] = adapted
+        loaded += 1
+    assert loaded == n_target, f"loaded {loaded} of {n_target} leaves"
+    return {
+        "params": _unflatten(params_flat, target_vars["params"]),
+        "batch_stats": _unflatten(stats_flat, target_vars.get("batch_stats", {})),
+    }
