@@ -10,16 +10,20 @@ def test_instructir_tiny():
     from mp_hsir_tpu.models.zoo.instructir import InstructIR
 
     m = InstructIR(in_channels=4, width=8, enc_blocks=(1, 1), middle_blocks=1,
-                   dec_blocks=(1, 1), embed_dim=16, num_tasks=7)
+                   dec_blocks=(1, 1), task_classes=7)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 4, 16, 16)).astype(np.float32))
-    emb = jnp.asarray(np.random.default_rng(1).standard_normal((1, 16)).astype(np.float32))
-    params = jax.jit(lambda r: m.init(r, x, emb))(jax.random.key(0))
-    y, logits = jax.jit(lambda p, xx, e: m.apply(p, xx, e))(params, x, emb)
-    assert y.shape == x.shape and logits.shape == (1, 7)
+    tid = jnp.zeros((1,), jnp.int32)
+    params = jax.jit(lambda r: m.init(r, x, tid))(jax.random.key(0))
+    y = jax.jit(lambda p, xx, t: m.apply(p, xx, t))(params, x, tid)
+    assert y.shape == x.shape
     assert bool(jnp.isfinite(y).all())
-    # conditioning must matter
-    y2, _ = m.apply(params, x, emb * -2.0)
-    assert float(jnp.abs(y2 - y).max()) > 1e-6
+    # task conditioning must matter once the (zero-initialized, like the
+    # reference) ICB modulation scale is non-zero
+    params["params"]["dec_icb0"]["gamma"] = jnp.ones_like(
+        params["params"]["dec_icb0"]["gamma"])
+    y1 = m.apply(params, x, tid)
+    y2 = m.apply(params, x, jnp.full((1,), 3, jnp.int32))
+    assert float(jnp.abs(y2 - y1).max()) > 1e-6
 
 
 def test_prompthsi_tiny():

@@ -35,6 +35,47 @@ _SEQ_STAGES = (r"(encoder_level\d|decoder_level\d|latent|refinement)\.(\d+)\.",
 _UPDOWN_BODY = (r"\b(down\d_\d|up\d_\d)\.body\.0\.", r"\1.conv.")
 
 
+def test_instructir_parity():
+    """reference: instructir.py:271 (InstructIR with CLIP Text_Prompt) —
+    ICBs on every encoder/decoder level, 1/T-scaled one-hot CLIP routing.
+    Both sides share the identical frozen text table (ref_torch clip stub ==
+    models/text_prompts.clip_text_table)."""
+    mod = load_ref("instructir.py")
+    torch.manual_seed(0)
+    ref = mod.InstructIR(img_channel=5, width=8, middle_blk_num=2,
+                         enc_blk_nums=[1, 1], dec_blk_nums=[1, 1],
+                         txtdim=512, task_classes=6).eval()
+
+    from mp_hsir_tpu.models.zoo.instructir import InstructIR
+
+    model = InstructIR(in_channels=5, width=8, enc_blocks=(1, 1),
+                       middle_blocks=2, dec_blocks=(1, 1), txtdim=512,
+                       task_classes=6)
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    tid = np.array([2], np.int64)
+    target = model.init(jax.random.key(0), jnp.asarray(x),
+                        jnp.asarray(tid, jnp.int32))["params"]
+    rules = [
+        (r"^encoders\.(\d+)\.(\d+)\.", r"enc\1_\2."),
+        (r"^decoders\.(\d+)\.(\d+)\.", r"dec\1_\2."),
+        (r"^middle_blks\.(\d+)\.", r"mid_\1."),
+        (r"^downs\.(\d+)\.", r"down\1."),
+        (r"^ups\.(\d+)\.0\.", r"up\1_conv."),
+        (r"^enc_cond\.(\d+)\.", r"enc_icb\1."),
+        (r"^dec_cond\.(\d+)\.", r"dec_icb\1."),
+        (r"\.sca\.1\.", r".sca."),
+        (r"\.(norm\d)\.weight", r".\1.scale"),
+    ]
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        value_hooks=[(r"(\.|^)(beta|gamma)$", lambda v: v.transpose(0, 2, 3, 1))])
+    f = jax.jit(lambda p, xx, t: model.apply({"params": p}, xx, t))
+    got = np.asarray(f(params, jnp.asarray(x), jnp.asarray(tid, jnp.int32)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(tid)).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
 def test_restormer_parity():
     """reference: general/restormer_arch.py:193 (Restormer)."""
     mod = load_ref("general/restormer_arch.py")
