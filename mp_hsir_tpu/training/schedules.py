@@ -80,6 +80,65 @@ def cosine_annealing_restart(base_lr: float, periods: Sequence[int],
     return schedule
 
 
+def linear_lr(base_lr: float, total_iter: int):
+    """LinearLR: lr = base * (1 - step/total_iter)
+    (utils/schedulers.py:53-74)."""
+
+    def schedule(step):
+        return base_lr * (1.0 - jnp.asarray(step, jnp.float32) / total_iter)
+
+    return schedule
+
+
+def cosine_annealing_restart_cyclic(base_lr: float, periods: Sequence[int],
+                                    restart_weights: Sequence[float] = (1.0,),
+                                    eta_mins: Sequence[float] = (0.0,)):
+    """CosineAnnealingRestartCyclicLR: like cosine_annealing_restart but
+    with a PER-CYCLE eta_min (utils/schedulers.py:190-237)."""
+    cum = [0]
+    for p in periods:
+        cum.append(cum[-1] + p)
+
+    def schedule(step):
+        lr = jnp.full_like(jnp.asarray(step, jnp.float32), eta_mins[-1])
+        # reference get_position_from_periods returns the FIRST cycle with
+        # iteration <= cumulative_period[i] — the right edge belongs to the
+        # EARLIER cycle; reversed iteration lets earlier wheres win there
+        for i in reversed(range(len(periods))):
+            in_cycle = (step >= cum[i]) & (step <= cum[i + 1])
+            w = restart_weights[min(i, len(restart_weights) - 1)]
+            em = eta_mins[min(i, len(eta_mins) - 1)]
+            val = em + w * 0.5 * (base_lr - em) * (
+                1 + jnp.cos(math.pi * (step - cum[i]) / periods[i])
+            )
+            lr = jnp.where(in_cycle, val, lr)
+        return lr
+
+    return schedule
+
+
+def linear_warmup_decay(warmup_steps: int, total_steps: int, cosine: bool = True,
+                        linear: bool = False):
+    """Warmup-decay MULTIPLIER (not an lr): linear ramp over warmup_steps,
+    then cosine (default) / linear / no decay to 0 at total_steps
+    (utils/schedulers.py:350-372)."""
+    assert not (linear and cosine)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / max(1, warmup_steps)
+        progress = (step - warmup_steps) / max(1, total_steps - warmup_steps)
+        if cosine:
+            decay = 0.5 * (1.0 + jnp.cos(math.pi * progress))
+        elif linear:
+            decay = 1.0 - progress
+        else:
+            decay = jnp.ones_like(step)
+        return jnp.where(step < warmup_steps, warm, decay)
+
+    return schedule
+
+
 def vibrate(base_lr: float, total_iter: int):
     """VibrateLR curiosity schedule (utils/schedulers.py:76-116): a decaying
     triangle-wave multiplier."""

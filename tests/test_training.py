@@ -38,6 +38,68 @@ def test_warmup_cosine_matches_torch_cosine_after_warmup():
         sched.step()
 
 
+def _ref_schedulers():
+    """Import the ACTUAL reference utils/schedulers.py."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_schedulers", "/root/reference/utils/schedulers.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_linear_lr_matches_reference():
+    """LinearLR parity (reference utils/schedulers.py:53-74)."""
+    torch = pytest.importorskip("torch")
+    from mp_hsir_tpu.training.schedules import linear_lr
+
+    mod = _ref_schedulers()
+    base, total = 3e-4, 40
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    sched = mod.LinearLR(opt, total)
+    s = linear_lr(base, total)
+    for step in range(total):
+        np.testing.assert_allclose(float(s(step)), opt.param_groups[0]["lr"],
+                                   rtol=1e-6, err_msg=f"step {step}")
+        sched.step()
+
+
+def test_cosine_annealing_restart_cyclic_matches_reference():
+    """CosineAnnealingRestartCyclicLR parity (utils/schedulers.py:190-237),
+    incl. the right-edge-inclusive cycle ownership."""
+    torch = pytest.importorskip("torch")
+    from mp_hsir_tpu.training.schedules import cosine_annealing_restart_cyclic
+
+    mod = _ref_schedulers()
+    base = 2e-4
+    periods, weights, eta_mins = [10, 15, 5], [1.0, 0.5, 0.25], [1e-6, 1e-7, 0.0]
+    m = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(m.parameters(), lr=base)
+    sched = mod.CosineAnnealingRestartCyclicLR(opt, periods, weights, eta_mins)
+    s = cosine_annealing_restart_cyclic(base, periods, weights, eta_mins)
+    for step in range(sum(periods)):
+        np.testing.assert_allclose(float(s(step)), opt.param_groups[0]["lr"],
+                                   rtol=1e-5, atol=1e-12, err_msg=f"step {step}")
+        sched.step()
+
+
+def test_linear_warmup_decay_matches_reference():
+    """linear_warmup_decay multiplier parity (utils/schedulers.py:350-372),
+    all three decay modes."""
+    from mp_hsir_tpu.training.schedules import linear_warmup_decay
+
+    mod = _ref_schedulers()
+    for cosine, linear in ((True, False), (False, True), (False, False)):
+        want_fn = mod.linear_warmup_decay(5, 30, cosine=cosine, linear=linear)
+        got_fn = linear_warmup_decay(5, 30, cosine=cosine, linear=linear)
+        for step in range(30):
+            np.testing.assert_allclose(float(got_fn(step)), want_fn(step),
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"{cosine}/{linear}@{step}")
+
+
 def test_l1_clamped():
     from mp_hsir_tpu.training.losses import l1_clamped
 
