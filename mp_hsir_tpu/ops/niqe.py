@@ -99,11 +99,22 @@ def niqe_features(img: np.ndarray, patch: int = 96) -> np.ndarray:
     return np.concatenate(feats, axis=1)
 
 
-@lru_cache(maxsize=1)
+_ASSET_MODEL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "assets", "niqe_pristine_hsi.npz")
+
+
+@lru_cache(maxsize=4)
 def _pristine_model(model_path: Optional[str] = None):
-    if model_path and os.path.exists(model_path):
-        d = np.load(model_path)
-        return d["mu"], d["cov"]
+    """Resolution order: explicit model_path > MP_HSIR_NIQE_MODEL env var >
+    shipped assets/niqe_pristine_hsi.npz (fitted on 1/f-spectrum synthetic
+    pristine HSI bands by scripts/fit_niqe_model.py --synthetic) > smooth-
+    field fallback. Drop a model fitted on the canonical 125-image corpus in
+    any of the first three slots for literature-comparable scores."""
+    for source in (model_path, os.environ.get("MP_HSIR_NIQE_MODEL", ""), _ASSET_MODEL):
+        if source and os.path.exists(source):
+            d = np.load(source)
+            return d["mu"], d["cov"]
     # synthetic fallback: smooth band-limited fields as the "pristine" corpus
     rng = np.random.default_rng(0)
     feats = []
