@@ -304,6 +304,11 @@ class SpectralAttention(nn.Module):
     axis_name: Optional[str] = None
     spectral_axis: Optional[str] = None
     use_pallas: bool = False
+    # EVAL-ONLY opt-in: route spatially-sharded calls through the split-phase
+    # Pallas kernel (psum'd Gram partials; ops/pallas_attention.py
+    # fused_spectral_attention_sharded). No VJP — training under a mesh must
+    # keep this False and take the differentiable jnp formulation.
+    allow_sharded_kernel: bool = False
 
     @nn.compact
     def __call__(self, x: Array, ln_w: Optional[Array] = None,
@@ -344,6 +349,16 @@ class SpectralAttention(nn.Module):
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
                 shortcut=shortcut, shifted=shifted,
+            )
+        if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
+                and not use_tp and self.axis_name is not None and h % 8 == 0
+                and not shifted and b == 1):
+            from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_sharded
+
+            return fused_spectral_attention_sharded(
+                x, wqkv, wdw, temp, wout, self.num_heads, self.axis_name,
+                ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
+                shortcut=shortcut,
             )
         assert (ln_w is None and gate is None and shortcut is None
                 and not residual and not shifted), (
@@ -903,9 +918,18 @@ class PGSSTB(nn.Module):
             # in-kernel roll: the shifted-window (-4,-4) cyclic roll is built
             # inside the slab kernel (reads this + the next wrapped block)
             # when the single-device epilogue path is active; mesh axes keep
-            # the explicit ppermute roll
-            epilogue_ok = dp_identity and _pallas_spectral_epilogue_ok(
-                self.use_bias, self.axis_name, self.spectral_axis)
+            # the explicit ppermute roll.
+            # Under a spatial mesh, UNSHIFTED blocks at eval still run the
+            # fused epilogue via the split-phase sharded spectral kernel
+            # (psum'd Gram partials + halo ppermute; batch-1 eval only);
+            # shifted sharded blocks keep the explicit-roll fallback.
+            sharded_epilogue = (self.axis_name is not None and shift == 0
+                                and b == 1 and not self.use_bias
+                                and self.spectral_axis is None)
+            epilogue_ok = dp_identity and (
+                _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
+                                             self.spectral_axis)
+                or sharded_epilogue)
             kernel_rolls = shift > 0 and epilogue_ok
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)
@@ -919,6 +943,7 @@ class PGSSTB(nn.Module):
             spectral = SpectralAttention(
                 self.dim, self.num_heads, self.use_bias, self.axis_name,
                 self.spectral_axis, True, name="gobal_spectral_attn",
+                allow_sharded_kernel=dp_identity,
             )
             hidden = int(self.dim * self.mlp_ratio)
             lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()

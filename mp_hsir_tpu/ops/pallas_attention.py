@@ -1005,6 +1005,241 @@ def _spectral_raw_call(
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# Split-phase spectral attention for SPATIALLY SHARDED maps (mesh eval).
+#
+# The fused two-phase kernel needs the pixel-global Gram/norm statistics
+# between its phases — impossible inside one pallas_call when pixels span
+# shards. The split form runs phase 0 per shard (emitting partials), psums
+# the (C x dh)-sized stats over the mesh axis OUTSIDE, folds the attention
+# in plain jnp (tiny C^2 math), and streams phase 1 per shard with the
+# combined matrix. Shard-boundary dwconv halo rows arrive as explicit
+# pre-exchanged (ppermute'd) single-row inputs; whether a boundary is a true
+# image edge (-> zero taps) is passed as SMEM scalars.
+# ---------------------------------------------------------------------------
+
+
+def _sp_build_x10(x_top, x_mid, x_bot, htop_ref, hbot_ref, edge_ref, i, n_slab,
+                  ln, lnw_ref, lnb_ref, eps, dt, w, c):
+    """(10, W, C) slab in conv space: interior halo rows from the clamped
+    neighbor blocks, shard-boundary rows from the exchanged halos, true
+    image edges zeroed POST-LN (matching the fused kernel's ordering)."""
+    top_row = jnp.where(i > 0, x_top[0], htop_ref[0])
+    bot_row = jnp.where(i < n_slab - 1, x_bot[0], hbot_ref[0])
+    x10 = jnp.concatenate([top_row, x_mid[0], bot_row], axis=0)
+    if ln:
+        x10 = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps, dt).reshape(10, w, c)
+    # zero the halo row only when it is a TRUE image edge (edge_ref scalars:
+    # [global_top, global_bot] int32)
+    top_edge = jnp.logical_and(i == 0, edge_ref[0] == 1)
+    bot_edge = jnp.logical_and(i == n_slab - 1, edge_ref[1] == 1)
+    top = jnp.where(top_edge, jnp.zeros_like(x10[:1]), x10[:1])
+    bot = jnp.where(bot_edge, jnp.zeros_like(x10[9:]), x10[9:])
+    return jnp.concatenate([top, x10[1:9], bot], axis=0)
+
+
+def _sp_qkv_slab(x10, wqkv_ref, wdw_ref, lane_lo, lane_hi, dt, w, c):
+    wq = wqkv_ref[:, lane_lo:lane_hi]
+    t = jnp.dot(x10.reshape(10 * w, c), wq, preferred_element_type=jnp.float32)
+    t = t.astype(dt).reshape(10, w, lane_hi - lane_lo)
+    tp = jnp.pad(t, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((8, w, lane_hi - lane_lo), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            wtap = wdw_ref[dr * 3 + dc, lane_lo:lane_hi].astype(jnp.float32)
+            acc = acc + tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32) * wtap
+    return acc.astype(dt).reshape(8 * w, lane_hi - lane_lo)
+
+
+def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
+                *rest, num_heads, n_slab, ln, eps):
+    _, ws8, w, c = x_mid.shape
+    dh = c // num_heads
+    dt = x_mid.dtype
+    i = pl.program_id(1)
+    opt = list(rest[: 2 if ln else 0])
+    gram_ref, nq_ref, nk_ref = rest[(2 if ln else 0):]
+    lnw_ref = opt[0] if ln else None
+    lnb_ref = opt[1] if ln else None
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    def _():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+        nq_ref[:] = jnp.zeros_like(nq_ref)
+        nk_ref[:] = jnp.zeros_like(nk_ref)
+
+    x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
+                        ln, lnw_ref, lnb_ref, eps, dt, w, c)
+    qk = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 0, 2 * c, dt, w, c)
+    q = qk[:, :c]
+    k = qk[:, c:]
+    for h in range(num_heads):
+        qh = q[:, h * dh : (h + 1) * dh]
+        kh = k[:, h * dh : (h + 1) * dh]
+        gram_ref[h * dh : (h + 1) * dh, :] += jax.lax.dot_general(
+            qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+        nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+
+
+def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
+                comb_ref, *rest, num_heads, n_slab, ln, eps, residual,
+                has_gate, has_shortcut):
+    _, ws8, w, c = x_mid.shape
+    dt = x_mid.dtype
+    i = pl.program_id(1)
+    n_opt = (2 if ln else 0) + (1 if has_gate else 0) + (1 if has_shortcut else 0)
+    opt = list(rest[:n_opt])
+    out_ref = rest[n_opt]
+    lnw_ref = opt.pop(0) if ln else None
+    lnb_ref = opt.pop(0) if ln else None
+    gate_ref = opt.pop(0) if has_gate else None
+    short_ref = opt.pop(0) if has_shortcut else None
+
+    x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
+                        ln, lnw_ref, lnb_ref, eps, dt, w, c)
+    v = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 2 * c, 3 * c, dt, w, c)
+    y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    y = y.reshape(ws8, w, c).astype(dt)
+    if has_gate:
+        g = gate_ref[0, 0]  # (W/8, C)
+        emat = _window_expand_mat(w)
+        gb = jnp.dot(emat, g.astype(jnp.float32),
+                     preferred_element_type=jnp.float32).astype(dt)
+        y = x_mid[0] * gb[None] + y
+    if residual:
+        y = x_mid[0] + y
+    if has_shortcut:
+        y = short_ref[0] + y
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def fused_spectral_attention_sharded(
+    x: Array,            # (B, Hlocal, W, C) — this shard's rows
+    wqkv: Array,         # (1, 1, C, 3C)
+    wdw: Array,          # (3, 3, 1, 3C)
+    temperature: Array,  # (nH, 1, 1)
+    wout: Array,         # (1, 1, C, C)
+    num_heads: int,
+    axis_name: str,
+    ln_w: Optional[Array] = None,
+    ln_b: Optional[Array] = None,
+    residual: bool = False,
+    gate: Optional[Array] = None,      # (B, H/8, W/8, C) per-window gates
+    shortcut: Optional[Array] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """SpectralAttention (MDTA) for SPATIALLY SHARDED maps: phase-0 Pallas
+    partials per shard -> psum'd Gram/norms -> jnp attention fold -> phase-1
+    Pallas stream with the combined (C, C) matrix and the (unshifted) PGSSTB
+    epilogue fused. Shard-boundary dwconv halos ride one ppermute each way;
+    true image edges keep the reference's zero padding. Eval-only (no VJP) —
+    training under a mesh uses the jnp formulation."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0, h
+    # phase-0 accumulators are shared across the grid's batch dim; mesh
+    # eval restores one cube at a time (cli/test_cli.py feeds B=1)
+    assert b == 1, "sharded spectral kernel supports batch 1"
+    dh = c // num_heads
+    n_slab = h // 8
+    dt = x.dtype
+    ln = ln_w is not None
+    n_shards = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    # one-row halo exchange: shard i receives the LAST row of shard i-1
+    # (top halo) and the FIRST row of shard i+1 (bottom halo)
+    down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    halo_top = jax.lax.ppermute(x[:, h - 1 : h], axis_name, down)
+    halo_bot = jax.lax.ppermute(x[:, 0:1], axis_name, up)
+    edge = jnp.stack([(idx == 0).astype(jnp.int32),
+                      (idx == n_shards - 1).astype(jnp.int32)])
+
+    wqkv2d = wqkv.reshape(c, 3 * c).astype(dt)
+    wdw2d = wdw.reshape(9, 3 * c).astype(dt)
+
+    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs0 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full, full]
+    args0 = [x, x, x, halo_top, halo_bot, edge, wqkv2d, wdw2d]
+    if ln:
+        in_specs0 += [full, full]
+        args0 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    k0 = functools.partial(_sp0_kernel, num_heads=num_heads, n_slab=n_slab,
+                           ln=ln, eps=eps)
+    gram, nq2, nk2 = pl.pallas_call(
+        k0,
+        grid=(b, n_slab),
+        in_specs=in_specs0,
+        out_specs=[
+            pl.BlockSpec((c, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, dh), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, dh), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args0)
+    # NOTE: phase-0 accumulators fold the batch too — restore per-batch
+    # handling by requiring B == 1 on this path (mesh eval restores one
+    # cube at a time; callers assert). Global reduction over shards:
+    gram = jax.lax.psum(gram, axis_name)
+    nq2 = jax.lax.psum(nq2, axis_name)
+    nk2 = jax.lax.psum(nk2, axis_name)
+
+    # attention fold in jnp (tiny): per head softmax + output-projection
+    temp = temperature.reshape(num_heads).astype(jnp.float32)
+    wr = wout.reshape(c, c).astype(jnp.float32)
+    combs = []
+    for hh in range(num_heads):
+        g = gram[hh * dh : (hh + 1) * dh]
+        nq = jnp.maximum(jnp.sqrt(nq2[hh]), 1e-12)
+        nk = jnp.maximum(jnp.sqrt(nk2[hh]), 1e-12)
+        attn = jax.nn.softmax(g / (nq[:, None] * nk[None, :]) * temp[hh], axis=-1)
+        combs.append(jax.lax.dot_general(
+            attn, wr[hh * dh : (hh + 1) * dh, :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    comb = jnp.concatenate(combs, axis=0)  # (C, C), rows = v lanes
+
+    in_specs1 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
+                 full, full]
+    args1 = [x, x, x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb]
+    if ln:
+        in_specs1 += [full, full]
+        args1 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    if gate is not None:
+        in_specs1.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        args1.append(gate.astype(dt))
+    if shortcut is not None:
+        in_specs1.append(stream)
+        args1.append(shortcut.astype(dt))
+    k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_slab,
+                           ln=ln, eps=eps, residual=residual,
+                           has_gate=gate is not None,
+                           has_shortcut=shortcut is not None)
+    return pl.pallas_call(
+        k1,
+        grid=(b, n_slab),
+        in_specs=in_specs1,
+        out_specs=stream,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args1)
+
+
 def fused_window_attention(
     windows: Array,        # (NW, N, C) window tokens
     wqkv: Array,           # (C, 3C)

@@ -91,7 +91,7 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted):
     want = np.asarray(plain.apply({"params": params}, x))
 
     names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
-             "fused_ln_gated_mlp_nhwc"]
+             "fused_ln_gated_mlp_nhwc", "fused_spectral_attention_sharded"]
     origs = {n: getattr(PA, n) for n in names}
 
     def make_interp(fn):
@@ -222,7 +222,7 @@ def test_fused_pgsstb_non_pow2_width():
     want = np.asarray(plain.apply({"params": params}, x))
 
     names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
-             "fused_ln_gated_mlp_nhwc"]
+             "fused_ln_gated_mlp_nhwc", "fused_spectral_attention_sharded"]
     origs = {n: getattr(PA, n) for n in names}
 
     def make_interp(fn):
@@ -248,9 +248,11 @@ def test_fused_pgsstb_non_pow2_width():
 @pytest.mark.parametrize("shifted", [False, True])
 def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
     """Spatially sharded PGSSTB with the Pallas kernels (the real multi-chip
-    eval combination: local slab kernels + ppermute rolls + psum'd spectral
-    attention) == the plain unsharded module. The in-kernel roll/epilogue
-    shortcuts must correctly disable themselves under a mesh axis."""
+    eval combination: local slab kernels + ppermute rolls + the split-phase
+    sharded spectral kernel with psum'd Gram partials) == the plain
+    unsharded module. Unshifted blocks run the FUSED epilogue through
+    fused_spectral_attention_sharded (round-1 VERDICT #3); shifted blocks
+    keep the explicit-roll fallback with the sharded plain kernel."""
     import dataclasses
 
     from jax.sharding import PartitionSpec as P
@@ -272,7 +274,7 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
     want = np.asarray(plain.apply({"params": params}, x))
 
     names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
-             "fused_ln_gated_mlp_nhwc"]
+             "fused_ln_gated_mlp_nhwc", "fused_spectral_attention_sharded"]
     origs = {n: getattr(PA, n) for n in names}
 
     def make_interp(fn):
@@ -293,14 +295,29 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
     bspec = P(None, SPATIAL_AXIS, None, None)
     f_sh = jax.jit(jax.shard_map(local_fwd, mesh=mesh, in_specs=(P(), bspec),
                                  out_specs=bspec, check_vma=False))
+    calls = {"sharded": 0, "sharded_epilogue": 0}
+
+    def counted_sharded(*args, **kw):
+        calls["sharded"] += 1
+        if kw.get("gate") is not None:
+            calls["sharded_epilogue"] += 1
+        kw["interpret"] = True
+        return origs["fused_spectral_attention_sharded"](*args, **kw)
+
     for n in names:
         setattr(PA, n, make_interp(origs[n]))
+    PA.fused_spectral_attention_sharded = counted_sharded
     try:
         got = np.asarray(f_sh(params, x))
     finally:
         for n in names:
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+    # the split-phase sharded kernel must actually carry the computation —
+    # with the fused EPILOGUE (gate+shortcut in-kernel) on unshifted blocks
+    assert calls["sharded"] > 0
+    if not shifted:
+        assert calls["sharded_epilogue"] > 0
 
 
 def test_fused_pgsstb_with_bias_falls_back():
@@ -319,7 +336,7 @@ def test_fused_pgsstb_with_bias_falls_back():
     want = np.asarray(plain.apply({"params": params}, x))
 
     names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
-             "fused_ln_gated_mlp_nhwc"]
+             "fused_ln_gated_mlp_nhwc", "fused_spectral_attention_sharded"]
     origs = {n: getattr(PA, n) for n in names}
 
     def make_interp(fn):
