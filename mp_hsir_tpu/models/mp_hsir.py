@@ -81,8 +81,15 @@ class MPHSIRNet(nn.Module):
         enc2f = L.PromptFusion(dim * 4, dim * 2, num_heads=8, use_bias=cfg.bias, axis_name=ax,
                                spectral_axis=cfg.spectral_axis,
                                use_pallas=cfg.use_pallas_attention, name="fusion2")(enc2, p2)
-        d2 = jnp.concatenate([d2, enc2f], axis=-1)
-        d2 = L.Conv2d(dim * 2, 1, use_bias=cfg.bias, name="reduce_chan_level2")(d2)
+        # concat + 1x1 reduce as SPLIT-WEIGHT matmuls: cat([a, b]) @ W ==
+        # a @ W_top + b @ W_bot — the (B, H/2, W/2, 4*dim) concatenation
+        # never materializes in HBM (params identical to the Conv2d form)
+        w_red, b_red = L.ConvParams(dim * 2, 1, use_bias=cfg.bias,
+                                    in_features=dim * 4, name="reduce_chan_level2")()
+        w2d = w_red.reshape(dim * 4, dim * 2).astype(d2.dtype)
+        d2 = d2 @ w2d[: dim * 2] + enc2f @ w2d[dim * 2 :]
+        if b_red is not None:
+            d2 = d2 + b_red.astype(d2.dtype)
         dec2 = base_block("decoder_level2", dim * 2, nb[1], cfg.heads[1], cfg.window_size[1], cfg.compress_ratios[1], dp2, 1)(d2, deterministic)
 
         # ---- decoder level 1 (no channel reduction; runs at 2*dim) ----

@@ -762,6 +762,7 @@ def _spectral_bwd_kernel(x_top, x_mid, x_bot, dy_ref, wqkv_ref, wdw_ref,
 
     @pl.when(jnp.logical_and(phase == 1, i == 0))
     def _():
+        dtemps = []
         for h in range(num_heads):
             g = gram_ref[h * dh : (h + 1) * dh, :]
             nq = jnp.maximum(jnp.sqrt(nq_ref[h, :]), 1e-12)
@@ -778,12 +779,14 @@ def _spectral_bwd_kernel(x_top, x_mid, x_bot, dy_ref, wqkv_ref, wdw_ref,
             dA = jax.lax.dot_general(wr, dC_h, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             dS = A * (dA - jnp.sum(dA * A, axis=1, keepdims=True))
-            dtemp_ref[0, h] += jnp.sum(dS * N)
+            dtemps.append(jnp.sum(dS * N, keepdims=True))  # (1,) each
             dN = dS * temp_ref[0, h]
             dgram_ref[h * dh : (h + 1) * dh, :] = dN / denom
             dNN = dN * N
             aq_ref[h, :] = -jnp.sum(dNN, axis=1) / (nq * nq)
             ak_ref[h, :] = -jnp.sum(dNN, axis=0) / (nk * nk)
+        # one vector store — Mosaic rejects scalar stores to VMEM
+        dtemp_ref[:] += jnp.concatenate(dtemps).reshape(1, num_heads)
 
     @pl.when(phase == 1)
     def _():

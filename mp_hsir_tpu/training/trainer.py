@@ -84,10 +84,17 @@ def make_train_step(
     correct for the sliced parameters too — see parallel/tp.py).
     """
     axes = [a for a in (DATA_AXIS, SPATIAL_AXIS, SPECTRAL_AXIS) if a in mesh.axis_names]
+
+    def axis_size(name):
+        return dict(zip(mesh.axis_names, mesh.devices.shape)).get(name, 1)
+
     model_cfg = dataclasses.replace(
         mc,
-        spatial_axis=SPATIAL_AXIS,
-        spectral_axis=SPECTRAL_AXIS if SPECTRAL_AXIS in mesh.axis_names else None,
+        # size-1 mesh axes stay None: a nominal axis would insert no-op
+        # ppermutes/psums everywhere AND push the spectral attention off its
+        # fused single-device kernel (measured cost on the 1-chip train step)
+        spatial_axis=SPATIAL_AXIS if axis_size(SPATIAL_AXIS) > 1 else None,
+        spectral_axis=SPECTRAL_AXIS if axis_size(SPECTRAL_AXIS) > 1 else None,
         # fused Pallas kernels are differentiable since round 2
         # (ops/pallas_vjp.py custom VJPs with Pallas backward kernels) —
         # training honors the config flag; tests/test_pallas_vjp.py +

@@ -37,7 +37,40 @@ def main():
     print(f"device: {jax.devices()[0]}  batch={batch} patch={patch}")
 
     state = create_train_state(mc, tc, jax.random.key(0))
-    step = make_train_step(mc, mesh)
+    # TRAIN_MODE=full|grad|fwd: full step / value_and_grad only / forward
+    # loss only (all in training mode, drop-path rngs live)
+    train_mode = os.environ.get("TRAIN_MODE", "full")
+    if train_mode == "full":
+        step = make_train_step(mc, mesh)
+    else:
+        import dataclasses as _dc
+
+        from mp_hsir_tpu.models.mp_hsir import MPHSIRNet
+        from mp_hsir_tpu.training import losses
+
+        model = MPHSIRNet(_dc.replace(mc, spatial_axis=None))
+
+        def loss_fn(params, degraded, clean, task_id, rng):
+            pred = model.apply({"params": params}, degraded, task_id,
+                               deterministic=False, rngs={"droppath": rng})
+            return losses.l1_clamped(pred, clean)
+
+        if train_mode == "fwd":
+            @jax.jit
+            def step(state, batch_d, rng):
+                loss = loss_fn(state.params, batch_d["degraded"],
+                               batch_d["clean"], batch_d["task_id"], rng)
+                return state, loss
+        else:
+            @jax.jit
+            def step(state, batch_d, rng):
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, batch_d["degraded"], batch_d["clean"],
+                    batch_d["task_id"], rng)
+                # touch the grads so XLA cannot DCE the backward
+                gsum = sum(jnp.sum(g.astype(jnp.float32) ** 2)
+                           for g in jax.tree_util.tree_leaves(grads))
+                return state, loss + 0.0 * gsum
     rng = jax.random.key(1)
     clean = jax.random.uniform(jax.random.key(2), (batch, mc.in_channels, patch, patch))
     degraded = jnp.clip(clean + 0.1, 0, 1)
