@@ -235,7 +235,7 @@ def mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, *, hidden, eps, residual,
 def _gdfn_bwd_kernel(x_top, x_mid, x_bot, dy_ref, lnw_ref, lnb_ref, win_ref,
                      wdw_ref, wout_ref,
                      dx_ref, dtop_ref, dbot_ref, dwin_ref, dwdw_ref, dwout_ref,
-                     dlnw_ref, dlnb_ref, xn_ref, dxn_ref, *,
+                     dlnw_ref, dlnb_ref, xn_ref, dxn_ref, dt_scr, *,
                      hidden, eps, n_slab, cw, residual):
     """Exact VJP of _gdfn_kernel. The depthwise 3x3 halo means x rows 8i-1
     and 8i+8 (owned by the NEIGHBOR slabs) receive gradient from THIS slab's
@@ -292,15 +292,16 @@ def _gdfn_bwd_kernel(x_top, x_mid, x_bot, dy_ref, lnw_ref, lnb_ref, win_ref,
         da = dgated * g * _dgelu_f32(a)
         dg = dgated * gelu_a
         dacc = jnp.concatenate([da, dg], axis=2)  # (8, cw, 2h) f32
-        dtc = jnp.zeros((10, cw + 2, 2 * hidden), jnp.float32)
+        # accumulate tap gradients in a VMEM scratch with STATIC slice
+        # stores — Mosaic has no dynamic_update_slice on values
+        dt_scr[:] = jnp.zeros_like(dt_scr)
         for dr in range(3):
             for dc in range(3):
                 wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
                 dwdw_ref[dr * 3 + dc, :] += jnp.sum(
                     dacc * t[dr : dr + ws8, dc : dc + cw, :], axis=(0, 1))
-                upd = dtc[dr : dr + ws8, dc : dc + cw, :] + dacc * wtap
-                dtc = jax.lax.dynamic_update_slice(dtc, upd, (dr, dc, 0))
-        dt2 = dtc.reshape(10 * (cw + 2), 2 * hidden)
+                dt_scr[dr : dr + ws8, dc : dc + cw, :] += dacc * wtap
+        dt2 = dt_scr[:].reshape(10 * (cw + 2), 2 * hidden)
         dwin_ref[:] += jax.lax.dot_general(
             xs, dt2.astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -371,6 +372,7 @@ def _gdfn_bwd_call(x, dy, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
         scratch_shapes=[
             pltpu.VMEM((10, w + 2, c), dt),
             pltpu.VMEM((10, w + 2, c), jnp.float32),
+            pltpu.VMEM((10, cw + 2, 2 * hidden), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -689,8 +691,8 @@ def _spectral_bwd_kernel(x_top, x_mid, x_bot, dy_ref, wqkv_ref, wdw_ref,
     if ln:
         dlnw_ref, dlnb_ref = rest[k : k + 2]
         k += 2
-    gram_ref, nq_ref, nk_ref, dC_ref, dgram_ref, aq_ref, ak_ref, comb_ref = \
-        rest[k : k + 8]
+    (gram_ref, nq_ref, nk_ref, dC_ref, dgram_ref, aq_ref, ak_ref, comb_ref,
+     dtp_scr) = rest[k : k + 9]
     lnw_ref = opt[0] if ln else None
     lnb_ref = opt[1] if ln else None
 
@@ -813,16 +815,16 @@ def _spectral_bwd_kernel(x_top, x_mid, x_bot, dy_ref, wqkv_ref, wdw_ref,
             dk_heads.append(dkh)
         dqkv = jnp.concatenate(dq_heads + dk_heads + [dv], axis=1)  # (8W, 3C)
         dacc = dqkv.reshape(ws8, w, 3 * c)
-        dtp = jnp.zeros((10, w + 2, 3 * c), jnp.float32)
+        # VMEM scratch with static slice stores (no value-dus in Mosaic)
+        dtp_scr[:] = jnp.zeros_like(dtp_scr)
         for dr in range(3):
             for dc in range(3):
                 wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
                 dwdw_ref[dr * 3 + dc, :] += jnp.sum(
                     dacc * tp[dr : dr + ws8, dc : dc + w, :].astype(jnp.float32),
                     axis=(0, 1))
-                upd = dtp[dr : dr + ws8, dc : dc + w, :] + dacc * wtap
-                dtp = jax.lax.dynamic_update_slice(dtp, upd, (dr, dc, 0))
-        dt10 = dtp[:, 1 : w + 1, :].reshape(10 * w, 3 * c).astype(dt)
+                dtp_scr[dr : dr + ws8, dc : dc + w, :] += dacc * wtap
+        dt10 = dtp_scr[:, 1 : w + 1, :].reshape(10 * w, 3 * c).astype(dt)
         dwqkv_ref[:] += jax.lax.dot_general(
             x10.reshape(10 * w, c), dt10, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -905,6 +907,7 @@ def _spectral_bwd_call(x, dy, wqkv2, wdw2, temp2, wout2, ln_w, ln_b, *,
             pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # aq
             pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # ak
             pltpu.VMEM((c, c), jnp.float32),                     # comb
+            pltpu.VMEM((10, w + 2, 3 * c), jnp.float32),         # dtp
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
