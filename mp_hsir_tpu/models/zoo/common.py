@@ -32,3 +32,20 @@ def pad_input(x: Array, multiple: int, mode: str = "reflect") -> Tuple[Array, in
 def crop_output(y: Array, h: int, w: int) -> Array:
     """Crop a (B, C, H', W') output back to the pre-padding size."""
     return y[:, :, :h, :w]
+
+
+def conv_transpose2d(x: Array, w: Array, b, stride: int = 2,
+                     padding: int = 1) -> Array:
+    """torch ConvTranspose2d(k, s, p) on NHWC via an input-dilated conv:
+    y = conv(zero-dilate(x, s), flip(w)^T, pad k-1-p). `w` arrives ALREADY
+    flipped/transposed to HWIO (the weight converters do
+    flip(kh,kw).transpose -> (k, k, in, out) from torch's (in, out, k, k))."""
+    k = w.shape[0]
+    pad = k - 1 - padding
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)), lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y

@@ -16,7 +16,8 @@ def _run(model, x, **kw):
 def test_stripformer_tiny():
     from mp_hsir_tpu.models.zoo.stripformer import Stripformer
 
-    m = Stripformer(in_channels=4, dim=8, depth=1, heads=2)
+    m = Stripformer(in_channels=4, dims=(8, 12, 16), dec_dim=8, heads=2,
+                    dec_heads=2)
     x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (1, 4, 16, 16)).astype(np.float32))
     assert _run(m, x).shape == x.shape
 

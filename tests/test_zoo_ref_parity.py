@@ -35,6 +35,39 @@ _SEQ_STAGES = (r"(encoder_level\d|decoder_level\d|latent|refinement)\.(\d+)\.",
 _UPDOWN_BODY = (r"\b(down\d_\d|up\d_\d)\.body\.0\.", r"\1.conv.")
 
 
+def test_stripformer_parity():
+    """reference: deblur/stripformer_arch.py:331 (Stripformer — fixed
+    31-band architecture, dims 64/128/320)."""
+    mod = load_ref("deblur/stripformer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.Stripformer().eval()
+
+    from mp_hsir_tpu.models.zoo.stripformer import Stripformer
+
+    model = Stripformer()
+    x = RNG.uniform(0, 1, (1, 31, 32, 32)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^encoder\.", ""),
+        (r"^decoder\.", ""),
+        (r"\.PEG\.PEG\.", r".PEG."),
+        (r"^(en_layer\d_1)\.0\.", r"\1_0."),
+        (r"^(en_layer\d_\d)\.0\.", r"\1.c0."),
+        (r"^(en_layer\d_\d)\.2\.", r"\1.c1."),
+        (r"^(de_layer\d_\d)\.0\.", r"\1_0."),
+        (r"^(de_layer\d_\d)\.2\.", r"\1_2."),
+    ]
+
+    def deconv(v):  # (in, out, k, k) -> OIHW of the equivalent conv
+        return np.flip(v, (2, 3)).transpose(1, 0, 2, 3).copy()
+
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        value_hooks=[(r"de_layer(3_1|2_1)\.0\.weight$", deconv)])
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_instructir_parity():
     """reference: instructir.py:271 (InstructIR with CLIP Text_Prompt) —
     ICBs on every encoder/decoder level, 1/T-scaled one-hot CLIP routing.
