@@ -68,6 +68,32 @@ def test_stripformer_parity():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_lkfn_parity():
+    """reference: sr/LKFN_arch.py:231 (LKFN). Its rgb_mean buffer only
+    broadcasts for 3-channel inputs (the vendored __main__'s 31-channel call
+    would crash) — tested at 3 channels with a zero mean, upscale 1."""
+    mod = load_ref("sr/LKFN_arch.py")
+    torch.manual_seed(0)
+    ref = mod.LKFN(num_in_ch=3, num_out_ch=3, num_feat=8, num_atten=8,
+                   num_block=8, upscale=1, num_in=1,
+                   upsampler="pixelshuffledirect", rgb_mean=(0, 0, 0)).eval()
+
+    from mp_hsir_tpu.models.zoo.lkfn import LKFN
+
+    model = LKFN(in_channels=3, num_feat=8, num_atten=8, num_block=8,
+                 upscale=1, num_in=1)
+    x = RNG.uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^upsampler\.0\.", "upsampler."),
+        (r"\.pixel_norm\.weight$", ".pixel_norm_weight"),
+        (r"\.pixel_norm\.bias$", ".pixel_norm_bias"),
+    ]
+    params = convert_zoo_state(ref, target, rules=rules, skip=(r"^mean$",))
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_instructir_parity():
     """reference: instructir.py:271 (InstructIR with CLIP Text_Prompt) —
     ICBs on every encoder/decoder level, 1/T-scaled one-hot CLIP routing.
