@@ -94,6 +94,30 @@ def test_lkfn_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_essa_parity():
+    """reference: sr/ESSA.py:191 (ESSA, upscale 1 — its __main__ config;
+    the up/downsample Sequentials are empty at scale 1)."""
+    mod = load_ref("sr/ESSA.py")
+    torch.manual_seed(0)
+    ref = mod.ESSA(inch=5, dim=8, upscale=1).eval()
+
+    from mp_hsir_tpu.models.zoo.essa import ESSA
+
+    model = ESSA(in_channels=5, dim=8, upscale=1)
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^blockup\.", ""),
+        (r"\.conv[du]\.0\.", ".conv_a."),
+        (r"\.conv[du]\.3\.", ".conv_b."),
+        (r"\.conv[du]\.6\.", ".conv_c."),
+        (r"\.norm\.weight$", ".norm.scale"),
+    ]
+    params = convert_zoo_state(ref, target, rules=rules)
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_instructir_parity():
     """reference: instructir.py:271 (InstructIR with CLIP Text_Prompt) —
     ICBs on every encoder/decoder level, 1/T-scaled one-hot CLIP routing.
