@@ -125,7 +125,7 @@ def _adapt(value: np.ndarray, target: np.ndarray, path: Tuple[str, ...]):
     returns None when shapes are irreconcilable (-> keep target, the
     reference's shape-filter)."""
     leaf = path[-1]
-    if path[-2] == "visual_prompt" or leaf == "visual_prompt":
+    if (len(path) >= 2 and path[-2] == "visual_prompt") or leaf == "visual_prompt":
         v = np.transpose(value[0], (1, 2, 0))  # (D,ps,ps) -> (ps,ps,D)
         return v if v.shape == target.shape else None
     if leaf == "text_prompt_learnable" or (len(path) >= 2 and path[-2] == "text_prompt_learnable"):

@@ -94,6 +94,45 @@ def test_lkfn_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_mlwnet_parity():
+    """reference: deblur/MLWNet_arch.py:307 (MLWNet) — NAFBlock encoder +
+    learnable-Haar-wavelet fusion/decoder blocks (LWN), eval head1 path.
+    Block counts are hard-coded in the reference; only dim/channels scale."""
+    mod = load_ref("deblur/MLWNet_arch.py")
+    torch.manual_seed(0)
+    ref = mod.MLWNet(inp_channels=5, out_channels=5, dim=4).eval()
+
+    from mp_hsir_tpu.models.zoo.mlwnet import MLWNet
+
+    model = MLWNet(in_channels=5, dim=4)
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^encoder\.feature_embed\.", "feature_embed."),
+        (r"^encoder\.b(\d)\.(\d+)\.", r"enc_b\1_\2."),
+        (r"^encoder\.down(\d)\.", r"down\1."),
+        (r"^fusion\.up(\d\d)\.0\.", r"fusion_up\1."),
+        (r"^fusion\.d(\d)\.(\d+)\.", r"fusion_d\1_\2."),
+        (r"^decoder\.head(\d)\.block\.0\.", r"head\1."),
+        (r"^decoder\.up(\d\d)\.0\.", r"dec_up\1."),
+        (r"^decoder\.d(\d)\.(\d+)\.", r"dec_d\1_\2."),
+        (r"^decoder\.alpha$", "alpha"),
+        (r"\.sca\.1\.", r".sca."),
+        (r"\.(norm\d)\.weight", r".\1.scale"),
+    ]
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        value_hooks=[(r"(\.|^)(beta|gamma|alpha)$",
+                      lambda v: v.transpose(0, 2, 3, 1))],
+        # the DWT/IDWT submodules alias the SAME filter Parameters the LWN
+        # owns — state_dict lists them twice; keep the canonical copy
+        skip=(r"\.wavedec\.", r"\.waverec\."))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))[0].numpy()  # eval: (head1+inp, None...)
+    np.testing.assert_allclose(_fwd_jax(model, params, x), want,
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_essa_parity():
     """reference: sr/ESSA.py:191 (ESSA, upscale 1 — its __main__ config;
     the up/downsample Sequentials are empty at scale 1)."""

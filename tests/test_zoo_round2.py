@@ -174,4 +174,6 @@ def test_mlwnet_dwt_roundtrip_and_forward():
     assert out.shape == xin.shape
     assert heads[0].shape == (1, 4, 16, 16)
     assert heads[1].shape == (1, 4, 8, 8)
-    assert heads[2].shape == (1, 4, 4, 4)
+    # head4 is 3-channel regardless of the model's bands (the reference
+    # hard-codes Deblur_head(..., 3), MLWNet_arch.py:251)
+    assert heads[2].shape == (1, 3, 4, 4)

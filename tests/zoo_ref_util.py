@@ -68,6 +68,28 @@ def load_ref(relpath: str):
         gu = types.ModuleType("general.utils")
         gu.get_root_logger = lambda *a, **k: logging.getLogger("ref_zoo")
         sys.modules["general.utils"] = gu
+    # wavelet_block.py only needs pywt for the Haar filter bank
+    if "pywt" not in sys.modules:
+        try:
+            import pywt  # noqa: F401
+        except ImportError:
+            h = 0.7071067811865476
+
+            class _Haar:
+                dec_lo = [h, h]
+                dec_hi = [-h, h]
+                rec_lo = [h, h]
+                rec_hi = [h, -h]
+                filter_bank = ([h, h], [-h, h], [h, h], [h, -h])
+
+                def __init__(self, name="haar"):
+                    assert name == "haar", name
+                    self.name = name
+
+            pywt_m = types.ModuleType("pywt")
+            pywt_m.Wavelet = _Haar
+            pywt_m.dwtn_max_level = lambda shape, wavelet: 1
+            sys.modules["pywt"] = pywt_m
     # qrnn/combinations.py imports the external sync_batchnorm package;
     # at eval SyncBN == BatchNorm
     if "sync_batchnorm" not in sys.modules:
