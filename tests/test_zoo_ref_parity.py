@@ -133,6 +133,38 @@ def test_mlwnet_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_sgnet_parity():
+    """reference: dehaze/SGNet_arch.py:162 (SGNet) — its layer widths are
+    hard-coded to the 100-band preset, so the oracle runs at 100 bands."""
+    mod = load_ref("dehaze/SGNet_arch.py")
+    torch.manual_seed(0)
+    ref = mod.SGNet(input_image_channel=100).eval()
+
+    from mp_hsir_tpu.models.zoo.sgnet import SGNet
+
+    model = SGNet(in_channels=100)
+    x = RNG.uniform(0, 1, (1, 100, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^SPCA_Block\.conv_sp_atten_(\d)_layer\.0\.", r"spca.sp\1."),
+        (r"^SPCA_Block\.conv_sp_atten_(\d_\d)\.", r"spca.sp\1."),
+        (r"^SPCA_Block\.conv_sp_atten_(\d)\.", r"spca.sp\1."),
+        (r"^SPCA_Block\.conv_ca_atten_1\.", "spca.ca1."),
+        (r"^SPCA_Block\.conv_ca_layer_1\.0\.", "spca.ca2."),
+        (r"^SPCA_Block\.conv_ca_layer_2\.0\.", "spca.ca3."),
+        (r"^SPCA_Block\.conv_pa_layer_1\.0\.", "spca.pa."),
+        (r"^SPCA_Block\.conv_layer\.0\.", "spca.out."),
+        (r"^Fusion_Block\.conv1\.0\.", "fusion.conv1."),
+        (r"^Fusion_Block\.conv2\.", "fusion.conv2."),
+        (r"^Basic_Residual\.conv_layer(\d)\.0\.", r"basic_residual.conv\1."),
+        (r"^(conv1_layer\d|conv2|conv3)\.0\.", r"\1."),
+    ]
+    params = convert_zoo_state(ref, target, rules=rules,
+                               skip=(r"^conv4\.",))  # declared, never used
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=3e-5, rtol=1e-4)
+
+
 def test_essa_parity():
     """reference: sr/ESSA.py:191 (ESSA, upscale 1 — its __main__ config;
     the up/downsample Sequentials are empty at scale 1)."""

@@ -68,6 +68,10 @@ def load_ref(relpath: str):
         gu = types.ModuleType("general.utils")
         gu.get_root_logger = lambda *a, **k: logging.getLogger("ref_zoo")
         sys.modules["general.utils"] = gu
+    if "torchsummary" not in sys.modules:  # SGNet imports it at module scope
+        ts = types.ModuleType("torchsummary")
+        ts.summary = lambda *a, **k: None
+        sys.modules["torchsummary"] = ts
     # wavelet_block.py only needs pywt for the Haar filter bank
     if "pywt" not in sys.modules:
         try:
