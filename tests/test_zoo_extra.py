@@ -25,7 +25,7 @@ def test_stripformer_tiny():
 def test_fftformer_tiny():
     from mp_hsir_tpu.models.zoo.fftformer import FFTformer
 
-    m = FFTformer(in_channels=4, dim=8, depths=(1, 1, 1))
+    m = FFTformer(in_channels=4, dim=8, num_blocks=(1, 1, 1), num_refinement=1)
     # 40x40: not a multiple of the 32 the 8x8-patch FFT at depth 2 needs —
     # exercises the reference-style pad-and-crop path
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 4, 40, 40)).astype(np.float32))

@@ -133,6 +133,35 @@ def test_mlwnet_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_fftformer_parity():
+    """reference: deblur/fftformer_arch.py:734 (fftformer) — bilinear
+    resample down/up, Fuse skips, FSAS/DFFN patch-FFT blocks."""
+    mod = load_ref("deblur/fftformer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.fftformer(inp_channels=5, out_channels=5, dim=8,
+                        num_blocks=[1, 1, 2], num_refinement_blocks=1).eval()
+
+    from mp_hsir_tpu.models.zoo.fftformer import FFTformer
+
+    model = FFTformer(in_channels=5, dim=8, num_blocks=(1, 1, 2),
+                      num_refinement=1)
+    x = RNG.uniform(0, 1, (1, 5, 32, 32)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        _SEQ_STAGES,
+        (r"^(down\d_\d|up\d_\d)\.body\.1\.", r"\1."),
+        (r"^patch_embed\.proj\.", "patch_embed."),
+    ]
+
+    def gate(v):  # (2h, 1, 1, 8, 5) -> (8, 5, 2h)
+        return v[:, 0, 0].transpose(1, 2, 0)
+
+    params = convert_zoo_state(ref, target, rules=rules,
+                               value_hooks=[(r"\.fft$", gate)])
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_sgnet_parity():
     """reference: dehaze/SGNet_arch.py:162 (SGNet) — its layer widths are
     hard-coded to the 100-band preset, so the oracle runs at 100 bands."""

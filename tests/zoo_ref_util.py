@@ -68,6 +68,30 @@ def load_ref(relpath: str):
         gu = types.ModuleType("general.utils")
         gu.get_root_logger = lambda *a, **k: logging.getLogger("ref_zoo")
         sys.modules["general.utils"] = gu
+    if "torchvision.ops" not in sys.modules:  # attn_util imports DeformConv2d
+        import torch.nn as _tnn
+
+        tvo = types.ModuleType("torchvision.ops")
+
+        class _DeformConv2d(_tnn.Module):
+            def __init__(self, *a, **k):
+                super().__init__()
+
+            def forward(self, *a, **k):
+                raise RuntimeError("DeformConv2d stub: not runnable in tests")
+
+        tvo.DeformConv2d = _DeformConv2d
+        sys.modules["torchvision.ops"] = tvo
+        if "torchvision" in sys.modules:
+            sys.modules["torchvision"].ops = tvo
+    if "kornia" not in sys.modules:  # utils_deblur imports it at module scope
+        try:
+            import kornia  # noqa: F401
+        except ImportError:
+            kr = types.ModuleType("kornia")
+            kr.filters = types.ModuleType("kornia.filters")
+            sys.modules["kornia"] = kr
+            sys.modules["kornia.filters"] = kr.filters
     if "torchsummary" not in sys.modules:  # SGNet imports it at module scope
         ts = types.ModuleType("torchsummary")
         ts.summary = lambda *a, **k: None
