@@ -1,12 +1,17 @@
 """LoFormer (Mao et al., ACM MM 2024) — deblurring transformer that runs
 window-local channel-wise attention in the 2-D DCT (frequency) domain.
 Zoo counterpart of net/comparison_methods/deblur/LoFormer_arch.py:639
-(Attention :143 with cs='channel_mlp', TransformerBlock :308 dct->attn->
-idct, U-Net wiring :945-1000).
+(torch-oracle parity in tests/test_zoo_ref_parity.py).
 
-TPU notes: DCT-II/IDCT are two small dense matmuls against precomputed
-orthonormal bases (MXU-friendly; the reference uses a 1.8k-LoC dct_util
-library of unfoldings), windows are reshape-only, attention is C x C.
+Faithful to the reference's DEFAULT configuration (the one MP-HSIR uses,
+LoFormer_arch.py:1144): blocks come in pairs (TransformerBlock_2b =
+trans1+trans2), cs='channel_mlp' activates the TOKEN-axis gating MLP on v
+(out = attn_out * gelu(Linear_N(v)); NO q/k normalization — qk_norm is
+False), temperature initializes at 1/sqrt(dim), every block wraps its
+attention in a full-map orthonormal DCT (two dense MXU matmuls here vs the
+reference's dct_util library), the FFN is a bias=True GDFN, and only the
+first len(dec)-1 decoder levels reduce channels — the last level and the
+output conv run at 2*dim.
 """
 
 from __future__ import annotations
@@ -19,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from mp_hsir_tpu.models.layers import Conv2d, GDFN, RestormerLayerNorm
+from mp_hsir_tpu.models.layers import Conv2d, GDFN, Linear, RestormerLayerNorm
 from mp_hsir_tpu.ops.basic import gelu_exact, pixel_shuffle, pixel_unshuffle
 
 Array = jax.Array
@@ -50,9 +55,9 @@ def idct2(x: Array) -> Array:
 
 
 class FreqChannelAttention(nn.Module):
-    """Window-local C x C attention with pixel-axis-L2-normalized q/k and a
-    gating channel-MLP on v (reference LoFormer_arch.py:143-253,
-    cs='channel_mlp', temp init 1/sqrt(dim))."""
+    """Window-local C x C attention (reference Attention :143-253 with
+    cs='channel_mlp': RAW q/k — no normalization — and a token-axis gating
+    MLP on v: out = (softmax(q k^T * temp) v) * gelu(Linear_N(v)))."""
 
     dim: int
     num_heads: int
@@ -61,32 +66,38 @@ class FreqChannelAttention(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
+        ws = self.window_size
         nh, dh = self.num_heads, c // self.num_heads
+        n = ws * ws
         qkv = Conv2d(c * 3, 1, name="qkv")(x)
         qkv = Conv2d(c * 3, 3, padding=1, groups=c * 3, name="qkv_dwconv")(qkv)
-        # (B*nW, ws*ws, 3, nh, dh)
-        win = qkv.reshape(b, h // ws, ws, w // ws, ws, 3, nh, dh)
-        win = win.transpose(0, 1, 3, 5, 6, 2, 4, 7).reshape(-1, 3, nh, ws * ws, dh)
-        q, k, v = win[:, 0], win[:, 1], win[:, 2]  # (Bw, nh, N, dh)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-2, keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-2, keepdims=True), 1e-12)
+        # reference check_image_size: reflect-pad qkv to a window multiple,
+        # crop the output back (LoFormer_arch.py:199,253)
+        ph, pw = (-h) % ws, (-w) % ws
+        if ph or pw:
+            qkv = jnp.pad(qkv, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        hx, wx = h + ph, w + pw
+        win = qkv.reshape(b, hx // ws, ws, wx // ws, ws, 3, nh, dh)
+        win = win.transpose(0, 1, 3, 5, 6, 7, 2, 4).reshape(-1, 3, nh, dh, n)
+        q, k, v = win[:, 0], win[:, 1], win[:, 2]  # (Bw, nh, dh, N)
         temp = self.param(
             "temperature",
             lambda _, s: jnp.full(s, 1.0 / np.sqrt(self.dim), jnp.float32),
             (nh, 1, 1),
         )
-        attn = jnp.einsum("bhnd,bhne->bhde", q, k, preferred_element_type=jnp.float32) * temp
+        attn = jnp.einsum("bhdn,bhen->bhde", q, k,
+                          preferred_element_type=jnp.float32) * temp
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhde,bhne->bhnd", attn, v)
+        out = jnp.einsum("bhde,bhen->bhdn", attn, v)
+        # token-axis gating MLP on v (reference block_mlp, :170-173/232-236)
+        gate = gelu_exact(Linear(n, use_bias=True, name="mlp")(v))
+        out = out * gate
 
-        def unwin(t):  # (Bw, nh, N, dh) -> (B, H, W, C)
-            t = t.reshape(b, h // ws, w // ws, nh, ws, ws, dh)
-            return t.transpose(0, 1, 4, 2, 5, 3, 6).reshape(b, h, w, c)
+        def unwin(t):  # (Bw, nh, dh, N) -> (B, Hx, Wx, C)
+            t = t.reshape(b, hx // ws, wx // ws, nh, dh, ws, ws)
+            return t.transpose(0, 1, 5, 2, 6, 3, 4).reshape(b, hx, wx, c)
 
-        out = unwin(out)
-        gate = gelu_exact(Conv2d(c, 1, name="cmlp")(unwin(v)))
-        return Conv2d(c, 1, name="project_out")(out * gate)
+        return Conv2d(c, 1, name="project_out")(unwin(out)[:, :h, :w])
 
 
 class LoBlock(nn.Module):
@@ -110,8 +121,25 @@ class LoBlock(nn.Module):
         )
 
 
+class LoBlockPair(nn.Module):
+    """TransformerBlock_2b (reference :449-495): two chained blocks."""
+
+    dim: int
+    num_heads: int
+    expansion: float = 2.66
+    window_size: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = LoBlock(self.dim, self.num_heads, self.expansion, self.window_size,
+                    name="trans1")(x)
+        return LoBlock(self.dim, self.num_heads, self.expansion, self.window_size,
+                       name="trans2")(x)
+
+
 class LoFormer(nn.Module):
-    """Restormer-shaped U-Net of LoBlocks (reference :639-1000)."""
+    """Restormer-shaped U-Net of LoBlock PAIRS (reference :639-1000); the
+    last decoder level (and output conv) run at 2*dim — no reduce there."""
 
     in_channels: int = 3
     dim: int = 32
@@ -125,25 +153,29 @@ class LoFormer(nn.Module):
     @nn.compact
     def __call__(self, inp: Array) -> Array:
         x = inp.transpose(0, 2, 3, 1)
-        h = Conv2d(self.dim, 3, padding=1, name="patch_embed")(x)
+        h = Conv2d(self.dim, 3, padding=1, use_bias=False, name="patch_embed")(x)
         skips = []
         c = self.dim
         for li, n in enumerate(self.enc_blocks):
             for i in range(n):
-                h = LoBlock(c, self.heads[li], window_size=self.window_size,
-                            name=f"enc{li}_{i}")(h)
+                h = LoBlockPair(c, self.heads[li], window_size=self.window_size,
+                                name=f"enc{li}_{i}")(h)
             skips.append(h)
             h = pixel_unshuffle(Conv2d(c // 2, 3, padding=1, use_bias=False, name=f"down{li}")(h), 2)
             c *= 2
         for i in range(self.middle_blocks):
-            h = LoBlock(c, self.heads_mid, window_size=self.window_size, name=f"mid_{i}")(h)
+            h = LoBlockPair(c, self.heads_mid, window_size=self.window_size, name=f"mid_{i}")(h)
+        heads_dec = self.heads[::-1]
         for li, n in enumerate(self.dec_blocks):
             h = pixel_shuffle(Conv2d(c * 2, 3, padding=1, use_bias=False, name=f"up{li}")(h), 2)
             c //= 2
             h = jnp.concatenate([h, skips[-(li + 1)]], axis=-1)
-            h = Conv2d(c, 1, use_bias=False, name=f"reduce{li}")(h)
+            if li < len(self.dec_blocks) - 1:
+                h = Conv2d(c, 1, name=f"reduce{li}")(h)
+            else:
+                c *= 2  # last level decodes at 2*dim (reference :764-768)
             for i in range(n):
-                h = LoBlock(c, self.heads[-(li + 1)], window_size=self.window_size,
-                            name=f"dec{li}_{i}")(h)
+                h = LoBlockPair(c, heads_dec[li], window_size=self.window_size,
+                                name=f"dec{li}_{i}")(h)
         out = Conv2d(self.in_channels, 3, padding=1, name="output")(h)
         return (out + x).transpose(0, 3, 1, 2)

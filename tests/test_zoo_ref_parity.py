@@ -133,6 +133,43 @@ def test_mlwnet_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_loformer_parity():
+    """reference: deblur/LoFormer_arch.py:639 (LoFormer, default
+    cs='channel_mlp': full-map DCT around window channel attention with a
+    token-axis v-gating MLP, NO qk norm, paired blocks)."""
+    mod = load_ref("deblur/LoFormer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.LoFormer(inp_channels=5, out_channels=5, dim=8,
+                       enc_blk_nums=[1, 1, 1], middle_blk_num=1,
+                       dec_blk_nums=[1, 1, 1], heads_enc=[1, 2, 2],
+                       heads_mid=2).eval()
+
+    from mp_hsir_tpu.models.zoo.loformer import LoFormer
+
+    model = LoFormer(in_channels=5, dim=8, enc_blocks=(1, 1, 1),
+                     middle_blocks=1, dec_blocks=(1, 1, 1), heads=(1, 2, 2),
+                     heads_mid=2)
+    # 64x64 so the deepest level is 8x8 (the reference reflect-pads maps
+    # smaller than one window in a way torch itself rejects)
+    x = RNG.uniform(0, 1, (1, 5, 64, 64)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^encoders\.(\d+)\.(\d+)\.", r"enc\1_\2."),
+        (r"^middle_blks\.(\d+)\.", r"mid_\1."),
+        (r"^decoders\.(\d+)\.(\d+)\.", r"dec\1_\2."),
+        (r"^downs\.(\d+)\.body\.0\.", r"down\1."),
+        (r"^ups\.(\d+)\.body\.0\.", r"up\1."),
+        (r"^reduce_chan\.(\d+)\.", r"reduce\1."),
+        (r"^patch_embed\.proj\.", "patch_embed."),
+        (r"\.attn\.0\.", ".attn."),
+        (r"\.ffn\.0\.", ".ffn."),
+        (r"\.mlp\.0\.", ".mlp."),
+    ]
+    params = convert_zoo_state(ref, target, rules=rules)
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=5e-5, rtol=1e-4)
+
+
 def test_fftformer_parity():
     """reference: deblur/fftformer_arch.py:734 (fftformer) — bilinear
     resample down/up, Fuse skips, FSAS/DFFN patch-FFT blocks."""
