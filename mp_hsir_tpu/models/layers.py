@@ -236,6 +236,21 @@ class GDFNFusedNHWC(nn.Module):
                                   residual=self.residual)
 
 
+class GatedMlpParams(nn.Module):
+    """Declares GatedMlp parameters (fc1/fc2, same names/shapes/init)
+    without applying them — for the spectral kernel's fused PGSSTB-tail
+    epilogue, which consumes the weights directly."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = LinearParams(self.hidden * 2, self.dim, name="fc1")()
+        w2, b2 = LinearParams(self.dim, self.hidden, name="fc2")()
+        return w1, b1, w2, b2
+
+
 class GatedMlpFusedNHWC(nn.Module):
     """LayerNorm + GatedMlp fused via the Pallas NHWC tile kernel —
     parameter tree identical to GatedMlp (fc1/fc2), LN params passed in."""
@@ -315,7 +330,8 @@ class SpectralAttention(nn.Module):
                  ln_b: Optional[Array] = None, residual: bool = False,
                  gate: Optional[Array] = None,
                  shortcut: Optional[Array] = None,
-                 shifted: bool = False) -> Array:
+                 shifted: bool = False,
+                 mlp_params=None) -> Array:
         """The optional kwargs are Pallas-path fused epilogues (caller must
         only pass them on kernel-eligible shapes/configs):
 
@@ -348,7 +364,7 @@ class SpectralAttention(nn.Module):
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                shortcut=shortcut, shifted=shifted,
+                shortcut=shortcut, shifted=shifted, mlp=mlp_params,
             )
         if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
                 and not use_tp and self.axis_name is not None and h % 8 == 0
@@ -361,7 +377,7 @@ class SpectralAttention(nn.Module):
                 shortcut=shortcut,
             )
         assert (ln_w is None and gate is None and shortcut is None
-                and not residual and not shifted), (
+                and not residual and not shifted and mlp_params is None), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
 
         if use_tp:
@@ -951,11 +967,20 @@ class PGSSTB(nn.Module):
             # pallas spectral path (mesh axes and use_bias fall back to the
             # psum'd / biased jnp formulation)
             if epilogue_ok:
-                # one kernel: x = shortcut + sa_map*gate + attn(sa_map).
-                # The reference applies the global spectral attention in the
-                # UNROLLED frame (its dwconv zero padding lives there); for
-                # shifted blocks the kernel performs the (+4,+4) roll-back
-                # internally and indexes the per-window gates through it.
+                # one kernel: x = shortcut + sa_map*gate + attn(sa_map),
+                # then (single-device) the block's tail MLP rides the same
+                # phase-1 writeback: out = x + GatedMlp(LN2(x)) — the final
+                # map never takes the standalone MLP kernel's extra
+                # read+write pass. The reference applies the global spectral
+                # attention in the UNROLLED frame (its dwconv zero padding
+                # lives there); for shifted blocks the kernel performs the
+                # (+4,+4) roll-back internally and indexes the per-window
+                # gates through it.
+                if not sharded_epilogue:
+                    w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
+                    return spectral(sa_map, gate=gate, shortcut=shortcut,
+                                    shifted=shift > 0,
+                                    mlp_params=(lnw2, lnb2, w1, b1, w2, b2))
                 x = spectral(sa_map, gate=gate, shortcut=shortcut,
                              shifted=shift > 0)
                 return GatedMlpFusedNHWC(self.dim, hidden, residual=True,

@@ -709,7 +709,7 @@ def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
 
 def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
                      *rest, num_heads, n_slab, ln, eps, residual, has_gate,
-                     has_shortcut, shifted=False):
+                     has_shortcut, shifted=False, mlp_hidden=0, mlp_cw=0):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
     qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
@@ -745,8 +745,9 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     dh = c // num_heads
     dt = x_mid.dtype
 
+    has_mlp = mlp_hidden > 0
     n_opt = ((2 if ln else 0) + ((2 if shifted else 1) if has_gate else 0)
-             + (1 if has_shortcut else 0))
+             + (1 if has_shortcut else 0) + (6 if has_mlp else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
     gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
@@ -755,6 +756,8 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
     gate_prev_ref = opt.pop(0) if (has_gate and shifted) else None
     gate_ref = opt.pop(0) if has_gate else None
     short_ref = opt.pop(0) if has_shortcut else None
+    if has_mlp:
+        mlnw_ref, mlnb_ref, mw1_ref, mb1_ref, mw2_ref, mb2_ref = opt[:6]
 
     def build_x10():
         """(10, W, C) slab with ±1 dwconv halo rows, edge rows zeroed —
@@ -862,6 +865,22 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
             y = u_mid + y
         if has_shortcut:
             y = short_ref[0] + y
+        if has_mlp:
+            # PGSSTB tail fused in: out = y + GatedMlp(LN(y)) — the block's
+            # final map never takes the extra read+write pass the standalone
+            # MLP kernel costs (y is already in VMEM)
+            chunks = []
+            for j in range(w // mlp_cw):
+                ys = y[:, j * mlp_cw : (j + 1) * mlp_cw, :].reshape(ws8 * mlp_cw, c)
+                xn = _ln_rows(ys, mlnw_ref, mlnb_ref, eps, dt)
+                hmid = jnp.dot(xn, mw1_ref[:], preferred_element_type=jnp.float32) + mb1_ref[:]
+                a = hmid[:, :mlp_hidden]
+                g2 = hmid[:, mlp_hidden:]
+                gated = a * (0.5 * g2 * (1.0 + _erf(g2 / np.sqrt(2.0))))
+                out = jnp.dot(gated.astype(dt), mw2_ref[:],
+                              preferred_element_type=jnp.float32) + mb2_ref[:]
+                chunks.append((ys.astype(jnp.float32) + out).reshape(ws8, mlp_cw, c))
+            y = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
         out_ref[0] = y.astype(out_ref.dtype)
 
 
@@ -878,6 +897,7 @@ def fused_spectral_attention_nhwc(
     gate: Optional[Array] = None,   # (B, H/8, W/8, C) PG per-window gates
     shortcut: Optional[Array] = None,  # (B, H, W, C) outer residual
     shifted: bool = False,          # x is rolled; roll back in-kernel
+    mlp=None,  # (ln2_w, ln2_b, w1, b1, w2, b2): fuse the PGSSTB tail MLP in
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
@@ -892,7 +912,7 @@ def fused_spectral_attention_nhwc(
     with a matching two-phase Pallas backward, ops/pallas_vjp.py); the
     gate/shortcut/shifted epilogues are eval-only and stay on the raw path."""
     b, h, w, c = x.shape
-    if gate is None and shortcut is None and not shifted:
+    if gate is None and shortcut is None and not shifted and mlp is None:
         from mp_hsir_tpu.ops.pallas_vjp import spectral_fused
 
         return spectral_fused(
@@ -903,7 +923,7 @@ def fused_spectral_attention_nhwc(
     return _spectral_raw_call(
         x, wqkv, wdw, temperature, wout, num_heads, ln_w=ln_w, ln_b=ln_b,
         residual=residual, gate=gate, shortcut=shortcut, shifted=shifted,
-        eps=eps, interpret=interpret)
+        mlp=mlp, eps=eps, interpret=interpret)
 
 
 def _spectral_raw_call(
@@ -919,6 +939,7 @@ def _spectral_raw_call(
     gate: Optional[Array] = None,
     shortcut: Optional[Array] = None,
     shifted: bool = False,
+    mlp=None,
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
@@ -927,6 +948,23 @@ def _spectral_raw_call(
     ln = ln_w is not None
     n_slab = h // 8
     grid = (b, 2, n_slab)
+    mlp_hidden = mlp_cw = 0
+    if mlp is not None:
+        ln2w, ln2b, mw1, mb1, mw2, mb2 = mlp
+        mlp_hidden = mw2.shape[0]
+        hp = (mlp_hidden + 127) // 128 * 128
+        if hp != mlp_hidden:
+            pad = hp - mlp_hidden
+            mw1 = jnp.concatenate([
+                mw1[:, :mlp_hidden], jnp.zeros((c, pad), mw1.dtype),
+                mw1[:, mlp_hidden:], jnp.zeros((c, pad), mw1.dtype)], axis=1)
+            mb1 = jnp.concatenate([
+                mb1[:mlp_hidden], jnp.zeros((pad,), mb1.dtype),
+                mb1[mlp_hidden:], jnp.zeros((pad,), mb1.dtype)])
+            mw2 = jnp.concatenate([mw2, jnp.zeros((pad, c), mw2.dtype)], axis=0)
+            mlp_hidden = hp
+        cap = 256 if 2 * mlp_hidden <= 768 else 128
+        mlp_cw = w if w <= cap else _pick_chunk(w, cap)
     dt = x.dtype
     wqkv2d = wqkv.reshape(c, 3 * c).astype(dt)
     wdw2d = wdw.reshape(9, 3 * c).astype(dt)
@@ -944,7 +982,8 @@ def _spectral_raw_call(
                              ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
                              has_shortcut=shortcut is not None,
-                             shifted=shifted)
+                             shifted=shifted, mlp_hidden=mlp_hidden,
+                             mlp_cw=mlp_cw)
     if shifted:
         # x_top carries the PREVIOUS (wrapped) full block — the roll-back
         # reads it in-kernel; x_bot is a pinned dummy row (one fetch total)
@@ -987,6 +1026,11 @@ def _spectral_raw_call(
         in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(shortcut.astype(dt))
+    if mlp is not None:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        args += [ln2w.astype(jnp.float32), ln2b.astype(jnp.float32),
+                 mw1.astype(dt), mb1.astype(jnp.float32),
+                 mw2.astype(dt), mb2.astype(jnp.float32)]
 
     return pl.pallas_call(
         kern,
