@@ -103,7 +103,9 @@ class ConvFFN(nn.Module):
         b, n, c = x.shape
         h = gelu_exact(Linear(self.hidden, name="fc1")(x))
         img = h.reshape(b, hw[0], hw[1], self.hidden)
-        img = Conv2d(self.hidden, 5, padding=2, groups=self.hidden, name="dwconv")(img)
+        # reference dwconv = Sequential(depthwise 5x5, GELU) (:50-61)
+        img = gelu_exact(Conv2d(self.hidden, 5, padding=2, groups=self.hidden,
+                                name="dwconv")(img))
         h = h + img.reshape(b, n, self.hidden)
         return Linear(c, name="fc2")(h)
 
@@ -143,20 +145,26 @@ class SRFormer(nn.Module):
     reconstruction (reference srformer_arch.py:762-946)."""
 
     in_channels: int = 3
-    embed_dim: int = 64
+    embed_dim: int = 96
     depths: Tuple[int, ...] = (6, 6, 6, 6)
     num_heads: Tuple[int, ...] = (6, 6, 6, 6)
-    window_size: int = 16
-    mlp_ratio: float = 2.0
-    upscale: int = 2
+    window_size: int = 8
+    mlp_ratio: float = 4.0
+    upscale: int = 1  # 1 = denoising head (x + conv_last(res)); 2/4 = SR
 
     @nn.compact
     def __call__(self, inp: Array) -> Array:
+        from mp_hsir_tpu.models.zoo.common import crop_output, pad_input
+        from mp_hsir_tpu.models.layers import LayerNorm
+
+        inp, oh, ow = pad_input(inp, self.window_size)
         x = inp.transpose(0, 2, 3, 1)
         b, h, w, _ = x.shape
         feat = Conv2d(self.embed_dim, 3, padding=1, name="conv_first")(x)
+        # patch_norm LN after the reshape-only embed + final norm
+        # (reference forward_features, :946-959; patch_norm default True)
         tokens = feat.reshape(b, h * w, self.embed_dim)
-        deep = tokens
+        deep = LayerNorm(self.embed_dim, name="patch_norm")(tokens)
         for gi, depth in enumerate(self.depths):
             gin = deep
             for bi in range(depth):
@@ -168,11 +176,15 @@ class SRFormer(nn.Module):
             img = deep.reshape(b, h, w, self.embed_dim)
             img = Conv2d(self.embed_dim, 3, padding=1, name=f"group{gi}_conv")(img)
             deep = gin + img.reshape(b, h * w, self.embed_dim)
-        deep = nn.LayerNorm(epsilon=1e-5, name="norm")(deep).reshape(b, h, w, self.embed_dim)
-        feat = feat + Conv2d(self.embed_dim, 3, padding=1, name="conv_after_body")(deep)
-        # pixel-shuffle reconstruction (reference Upsample :715-735)
+        deep = LayerNorm(self.embed_dim, name="norm")(deep).reshape(b, h, w, self.embed_dim)
+        res = feat + Conv2d(self.embed_dim, 3, padding=1, name="conv_after_body")(deep)
+        if self.upscale == 1:
+            # denoising head: x + conv_last(res) (reference :993-997)
+            out = x + Conv2d(self.in_channels, 3, padding=1, name="conv_last")(res)
+            return crop_output(out.transpose(0, 3, 1, 2), oh, ow)
+        # classical-SR head (reference 'pixelshuffle' branch)
         feat = jax.nn.leaky_relu(
-            Conv2d(64, 3, padding=1, name="conv_before_upsample")(feat), 0.01
+            Conv2d(64, 3, padding=1, name="conv_before_upsample")(res), 0.01
         )
         s = self.upscale
         while s > 1:
@@ -180,4 +192,4 @@ class SRFormer(nn.Module):
             feat = pixel_shuffle(Conv2d(64 * f * f, 3, padding=1, name=f"upsample_x{s}")(feat), f)
             s //= f
         out = Conv2d(self.in_channels, 3, padding=1, name="conv_last")(feat)
-        return out.transpose(0, 3, 1, 2)
+        return crop_output(out.transpose(0, 3, 1, 2), oh * self.upscale, ow * self.upscale)

@@ -133,6 +133,38 @@ def test_mlwnet_parity():
                                atol=3e-5, rtol=1e-4)
 
 
+def test_srformer_parity():
+    """reference: sr/srformer_arch.py:762 (SRFormer, denoising head at
+    upscale 1 — the MP-HSIR usage SRFormer(in_chans=31, upscale=1))."""
+    mod = load_ref("sr/srformer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.SRFormer(img_size=16, in_chans=5, embed_dim=8, depths=[2, 2],
+                       num_heads=[2, 2], window_size=8, mlp_ratio=2.0,
+                       upscale=1, upsampler="", img_range=1.0).eval()
+
+    from mp_hsir_tpu.models.zoo.srformer import SRFormer
+
+    model = SRFormer(in_channels=5, embed_dim=8, depths=(2, 2),
+                     num_heads=(2, 2), window_size=8, mlp_ratio=2.0, upscale=1)
+    x = RNG.uniform(0, 1, (1, 5, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^layers\.(\d+)\.residual_group\.blocks\.(\d+)\.", r"group\1_block\2."),
+        (r"^layers\.(\d+)\.conv\.", r"group\1_conv."),
+        (r"^patch_embed\.norm\.", "patch_norm."),
+        (r"\.dwconv\.depthwise_conv\.0\.", ".dwconv."),
+        (r"\.(norm\d)\.weight", r".\1.scale"),
+    ]
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        skip=(r"^mean$", r"aligned_relative_position_index$", r"attn_mask"))
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=5e-5, rtol=1e-4)
+    x_odd = RNG.uniform(0, 1, (1, 5, 13, 11)).astype(np.float32)
+    np.testing.assert_allclose(_fwd_jax(model, params, x_odd),
+                               _fwd_torch(ref, x_odd), atol=5e-5, rtol=1e-4)
+
+
 def test_loformer_parity():
     """reference: deblur/LoFormer_arch.py:639 (LoFormer, default
     cs='channel_mlp': full-map DCT around window channel attention with a
