@@ -1,16 +1,28 @@
 """MB-TaylorFormer (Qiu et al., ICCV 2023) — dehazing transformer with
 Taylor-expanded LINEAR attention (first-order softmax expansion:
 (1 + q@k^T) normalized, computed as q@(k@v) — O(N C^2), no N x N matrix)
-refined by a convolutional per-head gate, multi-branch deformable patch
+refined by per-head convolutional gates, multi-branch deformable patch
 embeds, and SKFF selective fusion. Zoo counterpart of
 net/comparison_methods/dehaze/MB_TaylorFormer_arch.py:714 (Attention :171,
 refine_att :105, DWCPatchEmbed/deform embed :506-623, SKFF :467,
-MHCA_stage :358, forward wiring :822-880).
+MHCA_stage :358, forward wiring :822-880). Faithful details:
+
+- refine_att (:105-167) runs a ModuleList of grouped convs, one per
+  window-size bucket of heads (:182-200: 8 heads -> {3:2, 5:3, 7:3},
+  4 -> {3:2, 5:2}, 2 -> {3:2}, 1 -> {3:1}), each over that bucket's
+  [q_dh ‖ k_dh] head-major channels with groups=bucket_heads and BIAS
+  (plain nn.Conv2d) emitting one gate map per head.
+- q and k are BOTH per-pixel L2-normalized over the head dim (:216-219 —
+  k's dim=-2 in its (b, head, Ch, N) layout is the channel axis).
+- blocks inside stages use the BiasFree LayerNorm (:46-48, no mean
+  subtraction: x / sqrt(var) * w) — MHCA_stage hard-codes 'BiasFree'.
+- the refinement stage reuses num_blocks[0] layers (:803 —
+  num_refinement_blocks is accepted but unused by the reference).
 
 TPU notes: linear attention is two dense matmuls (MXU); the deformable
 embed rides ops/deform.deform_conv2d (gather+matmul, the TPU equivalent of
-the reference's DCN CUDA ext); the conv refine gate collapses the
-reference's per-head window dict {3,5,7} to a single 3x3 grouped conv.
+the reference's torchvision DCN), sharing its (dy, dx)-per-tap offset
+layout.
 """
 
 from __future__ import annotations
@@ -21,16 +33,62 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mp_hsir_tpu.models.layers import Conv2d, GDFN, RestormerLayerNorm
+from mp_hsir_tpu.models.layers import Conv2d, GDFN
 from mp_hsir_tpu.ops.basic import pixel_shuffle, pixel_unshuffle
 from mp_hsir_tpu.ops.deform import deform_conv2d
 
 Array = jax.Array
 
+# reference Attention.__init__ :182-200 — window size -> heads per bucket
+_CRPE_WINDOWS = {
+    1: ((3, 1),),
+    2: ((3, 2),),
+    4: ((3, 2), (5, 2)),
+    8: ((3, 2), (5, 3), (7, 3)),
+}
+
+
+class BiasFreeLayerNorm(nn.Module):
+    """x / sqrt(var(x) + 1e-5) * w — variance uses the mean but x is NOT
+    centered (reference BiasFree_LayerNorm :37-48)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        xf = x.astype(jnp.float32)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        return (xf / jnp.sqrt(var + 1e-5) * w).astype(x.dtype)
+
+
+class RefineAtt(nn.Module):
+    """Per-head conv gate over head-major [q ‖ k] maps (reference
+    refine_att :105-167): heads are bucketed by window size; each bucket's
+    grouped conv (groups=bucket heads, bias on) maps 2*dim_head channels
+    per head to one gate map."""
+
+    dim_head: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, qk: Array) -> Array:  # (b, h, w, nh*2*dh) head-major
+        outs = []
+        start = 0
+        for i, (win, heads) in enumerate(_CRPE_WINDOWS[self.num_heads]):
+            span = heads * self.dim_head * 2
+            part = qk[..., start:start + span]
+            start += span
+            outs.append(
+                Conv2d(heads, win, padding=win // 2, groups=heads,
+                       name=f"conv_list_{i}")(part)
+            )
+        return jnp.concatenate(outs, axis=-1)  # (b, h, w, nh)
+
 
 class TaylorAttention(nn.Module):
-    """(sum_v + q@(k^T v)) / (N + q@sum_k) * temperature * sigmoid(conv(q‖k))
-    (reference Attention :171-236)."""
+    """(sum_v + q@(k^T v)) / (N + q@sum_k) * temperature * sigmoid(gate)
+    (reference Attention :205-239)."""
 
     dim: int
     num_heads: int
@@ -47,14 +105,15 @@ class TaylorAttention(nn.Module):
             return t.reshape(b, n, nh, dh)
 
         q, k, v = heads(q), heads(k), heads(v)
+        # both normalized per pixel over the head dim (reference :216-219;
+        # k's dim=-2 in (b, head, Ch, N) layout is Ch, not N)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-6)
-        k = k / (jnp.linalg.norm(k, axis=1, keepdims=True) + 1e-6)
+        k = k / (jnp.linalg.norm(k, axis=-1, keepdims=True) + 1e-6)
 
-        # conv refine gate on the per-head-interleaved q/k maps: channel
-        # layout (head, [q_dh ‖ k_dh]) so the grouped conv sees one head per
-        # group, like the reference's head-split conv list
+        # head-major (head, [q_dh ‖ k_dh]) channel layout, as in the
+        # reference's (B, h, 2Ch, H, W) concat (:153-156)
         qk = jnp.concatenate([q, k], axis=-1).reshape(b, h, w, nh * 2 * dh)
-        gate = Conv2d(nh, 3, padding=1, groups=nh, name="refine_att")(qk)
+        gate = RefineAtt(dh, nh, name="refine_att")(qk)
         gate = jax.nn.sigmoid(gate.reshape(b, n, nh, 1))
 
         kv = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
@@ -66,7 +125,9 @@ class TaylorAttention(nn.Module):
 
 
 class MTB(nn.Module):
-    """Pre-norm Taylor attention + GDFN (reference TransformerBlock :243-257)."""
+    """Pre-norm Taylor attention + GDFN with BiasFree LN (reference
+    TransformerBlock :243-257 as built by MHCA_stage — LayerNorm_type
+    'BiasFree', ffn_expansion_factor 2.66)."""
 
     dim: int
     num_heads: int
@@ -75,10 +136,10 @@ class MTB(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = x + TaylorAttention(self.dim, self.num_heads, name="attn")(
-            RestormerLayerNorm(self.dim, name="norm1")(x)
+            BiasFreeLayerNorm(self.dim, name="norm1")(x)
         )
         return x + GDFN(self.dim, self.expansion, name="ffn")(
-            RestormerLayerNorm(self.dim, name="norm2")(x)
+            BiasFreeLayerNorm(self.dim, name="norm2")(x)
         )
 
 
@@ -151,7 +212,8 @@ class MHCAStage(nn.Module):
 class MBTaylorFormer(nn.Module):
     """4-level U-Net of MHCA stages (reference :714-880). dims[1] must be
     2*dims[0] (decoder level 1 runs on the un-reduced concat, like
-    Restormer/MP-HSIR)."""
+    Restormer/MP-HSIR). ``num_refinement`` is accepted-but-unused exactly
+    like the reference's num_refinement_blocks (:803 uses num_blocks[0])."""
 
     in_channels: int = 3
     out_channels: int = 3
@@ -195,7 +257,7 @@ class MBTaylorFormer(nn.Module):
         d2 = stage(Conv2d(d[1], 1, use_bias=False, name="reduce_chan_level2")(d2), 1, "decoder_level2")
         d1 = jnp.concatenate([up(d2, d[0], "up2_1"), e1], axis=-1)  # 2*d0 == d1
         d1 = stage(d1, 0, "decoder_level1")
-        ref = MHCAStage(d[1], self.num_refinement, self.heads[0], self.num_path[0],
+        ref = MHCAStage(d[1], self.num_blocks[0], self.heads[0], self.num_path[0],
                         name="refinement")(d1) + d1
         out = Conv2d(self.out_channels, 3, padding=1, use_bias=False, name="output")(ref)
         return (out + x if self.out_channels == self.in_channels else out).transpose(0, 3, 1, 2)

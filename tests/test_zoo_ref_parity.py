@@ -548,3 +548,78 @@ def test_promptir_parity():
         value_hooks=[(r"prompt_param$", bank)])
     np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_ref_deform_conv_matches_jax():
+    """The pure-torch DeformConv2d oracle (zoo_ref_util._make_ref_deform_conv,
+    torchvision layout: (dy, dx) per row-major tap, bilinear zero-pad) must
+    agree with ops/deform.deform_conv2d — it anchors the MB-TaylorFormer
+    parity test below."""
+    from zoo_ref_util import _make_ref_deform_conv
+
+    from mp_hsir_tpu.ops.deform import deform_conv2d
+
+    torch.manual_seed(3)
+    dcn = _make_ref_deform_conv()(6, 4, 3, padding=1, groups=2, bias=True)
+    x = RNG.uniform(-1, 1, (2, 6, 9, 9)).astype(np.float32)
+    off = RNG.uniform(-2, 2, (2, 18, 9, 9)).astype(np.float32)
+    with torch.no_grad():
+        want = dcn(torch.from_numpy(x), torch.from_numpy(off)).numpy()
+    w_hwio = dcn.weight.detach().numpy().transpose(2, 3, 1, 0)
+    got = np.asarray(deform_conv2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(off.transpose(0, 2, 3, 1)),
+        jnp.asarray(w_hwio), bias=jnp.asarray(dcn.bias.detach().numpy()),
+        padding=1, groups=2)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_mbtaylorformer_parity():
+    """reference: dehaze/MB_TaylorFormer_arch.py:714 (MB_TaylorFormer) —
+    heads (1,2,4,8) exercises all four refine_att window buckets
+    (:182-200), num_path 2 the SKFF fusion, and every DWCPatchEmbed runs
+    the deformable conv through the runnable torch oracle."""
+    mod = load_ref("dehaze/MB_TaylorFormer_arch.py")
+    torch.manual_seed(0)
+    ref = mod.MB_TaylorFormer(
+        inp_channels=3, out_channels=3, dim=[8, 16, 24, 32],
+        num_blocks=[1, 1, 1, 1], num_refinement_blocks=1,
+        heads=[1, 2, 4, 8], num_path=[2, 2, 2, 2]).eval()
+
+    from mp_hsir_tpu.models.zoo.mbtaylorformer import MBTaylorFormer
+
+    model = MBTaylorFormer(in_channels=3, out_channels=3, dims=(8, 16, 24, 32),
+                           num_blocks=(1, 1, 1, 1), heads=(1, 2, 4, 8),
+                           num_path=(2, 2, 2, 2))
+    x = RNG.uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)
+    target = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    rules = [
+        (r"^patch_embed\.proj\.", "patch_embed."),
+        (r"^patch_embed_encoder_level(\d)\.patch_embeds\.(\d+)\.patch_conv\.",
+         r"encoder_level\1.patch_embed_\2."),
+        (r"^patch_embed_decoder_level(\d)\.patch_embeds\.(\d+)\.patch_conv\.",
+         r"decoder_level\1.patch_embed_\2."),
+        (r"^patch_embed_latent\.patch_embeds\.(\d+)\.patch_conv\.",
+         r"latent.patch_embed_\1."),
+        (r"^patch_embed_refinement\.patch_embeds\.(\d+)\.patch_conv\.",
+         r"refinement.patch_embed_\1."),
+        (r"\.offset_generator\.0\.", ".offset_dw."),
+        (r"\.offset_generator\.1\.", ".offset_pw."),
+        (r"\.dcn\.weight$", ".dcn_weight"),
+        (r"\.mhca_blks\.(\d+)\.MHCA_layers\.(\d+)\.", r".path\1_block\2."),
+        (r"\.norm(\d)\.body\.", r".norm\1."),
+        (r"\.refine_att\.conv_list\.(\d+)\.", r".refine_att.conv_list_\1."),
+        (r"\.aggregate\.conv_du\.1\.weight$", ".aggregate.prelu"),
+        (r"\.aggregate\.conv_du\.0\.", ".aggregate.conv_du."),
+        (r"\.aggregate\.fcs\.(\d+)\.", r".aggregate.fc\1."),
+        (r"^(down\d_\d|up\d_\d)\.body\.0\.", r"\1_dw."),
+        (r"^(down\d_\d|up\d_\d)\.body\.1\.", r"\1_pw."),
+        (r"^reduce_chan_level(\d)\.0\.", r"reduce_chan_level\1."),
+        (r"^output\.0\.", "output."),
+    ]
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        value_hooks=[(r"\.dcn\.weight$",
+                      lambda v: v.transpose(2, 3, 1, 0))])
+    np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
+                               atol=5e-5, rtol=1e-4)

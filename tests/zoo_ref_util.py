@@ -26,6 +26,75 @@ _ROOT = "/root/reference/net/comparison_methods"
 _cache = {}
 
 
+def _make_ref_deform_conv():
+    """Pure-torch torchvision.ops.DeformConv2d (runnable oracle): bilinear
+    zero-pad sampling, offset channels (dy, dx) interleaved per row-major
+    kernel tap — the torchvision deform_conv2d_kernel layout, which
+    mp_hsir_tpu.ops.deform.deform_conv2d shares."""
+    import math
+
+    import torch
+    import torch.nn as tnn
+
+    class DeformConv2d(tnn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size=3, stride=1,
+                     padding=0, dilation=1, groups=1, bias=True):
+            super().__init__()
+            k = kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size, kernel_size)
+            self.stride, self.padding, self.dilation, self.groups = (
+                int(stride), int(padding), int(dilation), int(groups))
+            self.weight = tnn.Parameter(
+                torch.empty(out_channels, in_channels // groups, *k))
+            tnn.init.kaiming_uniform_(self.weight, a=math.sqrt(5))
+            if bias:
+                self.bias = tnn.Parameter(torch.zeros(out_channels))
+            else:
+                self.register_parameter("bias", None)
+
+        def forward(self, x, offset, mask=None):
+            b, cin, h, w = x.shape
+            cout, cing, kh, kw = self.weight.shape
+            s, p, d = self.stride, self.padding, self.dilation
+            ho = (h + 2 * p - d * (kh - 1) - 1) // s + 1
+            wo = (w + 2 * p - d * (kw - 1) - 1) // s + 1
+            k2 = kh * kw
+            base_y = torch.arange(ho, dtype=x.dtype) * s - p
+            base_x = torch.arange(wo, dtype=x.dtype) * s - p
+            kyy, kxx = torch.meshgrid(
+                torch.arange(kh, dtype=x.dtype) * d,
+                torch.arange(kw, dtype=x.dtype) * d, indexing="ij")
+            off = offset.reshape(b, k2, 2, ho, wo)
+            sy = base_y.view(1, 1, ho, 1) + kyy.reshape(1, k2, 1, 1) + off[:, :, 0]
+            sx = base_x.view(1, 1, 1, wo) + kxx.reshape(1, k2, 1, 1) + off[:, :, 1]
+            y0, x0 = sy.floor(), sx.floor()
+            ty = (sy - y0).unsqueeze(1)  # (b, 1, k2, ho, wo)
+            tx = (sx - x0).unsqueeze(1)
+            flat = x.reshape(b, cin, h * w)
+
+            def tap(yi, xi):
+                inb = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)).to(x.dtype)
+                yc = yi.clamp(0, h - 1).long()
+                xc = xi.clamp(0, w - 1).long()
+                idx = (yc * w + xc).reshape(b, 1, k2 * ho * wo).expand(b, cin, -1)
+                v = torch.gather(flat, 2, idx).reshape(b, cin, k2, ho, wo)
+                return v * inb.unsqueeze(1)
+
+            samp = (tap(y0, x0) * (1 - ty) * (1 - tx)
+                    + tap(y0, x0 + 1) * (1 - ty) * tx
+                    + tap(y0 + 1, x0) * ty * (1 - tx)
+                    + tap(y0 + 1, x0 + 1) * ty * tx)
+            if mask is not None:
+                samp = samp * mask.reshape(b, 1, k2, ho, wo)
+            samp = samp.reshape(b, self.groups, cing, k2, ho, wo)
+            wgt = self.weight.reshape(self.groups, cout // self.groups, cing, k2)
+            out = torch.einsum("bgckhw,gock->bgohw", samp, wgt).reshape(b, cout, ho, wo)
+            if self.bias is not None:
+                out = out + self.bias.view(1, -1, 1, 1)
+            return out
+
+    return DeformConv2d
+
+
 def load_ref(relpath: str):
     """Import a comparison-method module by path relative to
     net/comparison_methods (cached)."""
@@ -68,22 +137,20 @@ def load_ref(relpath: str):
         gu = types.ModuleType("general.utils")
         gu.get_root_logger = lambda *a, **k: logging.getLogger("ref_zoo")
         sys.modules["general.utils"] = gu
-    if "torchvision.ops" not in sys.modules:  # attn_util imports DeformConv2d
-        import torch.nn as _tnn
-
+    if "torchvision.ops" not in sys.modules:  # attn_util/MB-TaylorFormer DCN
+        dcn_cls = _make_ref_deform_conv()
         tvo = types.ModuleType("torchvision.ops")
-
-        class _DeformConv2d(_tnn.Module):
-            def __init__(self, *a, **k):
-                super().__init__()
-
-            def forward(self, *a, **k):
-                raise RuntimeError("DeformConv2d stub: not runnable in tests")
-
-        tvo.DeformConv2d = _DeformConv2d
+        tvo.DeformConv2d = dcn_cls
+        tvdc = types.ModuleType("torchvision.ops.deform_conv")
+        tvdc.DeformConv2d = dcn_cls
         sys.modules["torchvision.ops"] = tvo
+        sys.modules["torchvision.ops.deform_conv"] = tvdc
         if "torchvision" in sys.modules:
             sys.modules["torchvision"].ops = tvo
+    if "torchstat" not in sys.modules:  # MB_TaylorFormer_arch imports stat
+        tst = types.ModuleType("torchstat")
+        tst.stat = lambda *a, **k: None
+        sys.modules["torchstat"] = tst
     if "kornia" not in sys.modules:  # utils_deblur imports it at module scope
         try:
             import kornia  # noqa: F401
