@@ -1,15 +1,30 @@
 """DIACMPN — Depth-Information-Assisted Cross-scale Multi-Prompt dehazing
-Network. Zoo counterpart of net/comparison_methods/dehaze/DIACMPN_arch.py:404
-(WATT continuous-rel-pos window attention :24, conditioned LayNormal :57,
-Att dual conv/attention branch :135, LEGM stages :266, MFM fusion :339,
-DRDB dilated dense block :368, depth/UNet assistance + cross-scale
-reweighting in forward_features :518-565; helpers DepthNet.py:48 `DN` and
-UNet.py:79).
+Network. Faithful zoo counterpart of
+net/comparison_methods/dehaze/DIACMPN_arch.py:404 (WATT continuous-rel-pos
+window attention :24, conditioned LayNormal :57, Att dual conv/attention
+branch :135, LEGM stages :266, MFM fusion :339, DRDB dilated dense block
+:368, cross-scale reweighting in forward_features :518-565) with its REAL
+assistance networks: the BN UNet (UNet.py:79 — bilinear align_corners=True
+ups, [skip ‖ up] concats) and the DRDB depth pyramid DN (DepthNet.py:48 —
+stride-2 downs, ConvTranspose2d k4s2p1 ups, 1-channel depth output).
 
-Compact TPU redesign: the hard-coded channel arithmetic of the reference
-(193/288/672...) is derived from `dims`; the assistance UNet/DepthNet are
-small conv pyramids; shifted windows use the reference's reflect-pad+crop
-scheme (no masks). All window math is reshape-only.
+Faithful details:
+- Down/UP/Att convs use REFLECT padding (padding_mode='reflect'); shifted
+  window attention is the reference's reflect-pad + crop scheme (no masks).
+- fuse_conv1 is computed and DISCARDED exactly like the reference (:550 —
+  its output is never used; XLA dead-code-eliminates it, the parameters
+  stay checkpoint-compatible). conv11/conv22/conv_fu/ccc are dead
+  parameters never touched by the reference forward and are omitted here.
+- fuse_conv2/3 apply a parameter-free InstanceNorm (the reference's
+  InstanceNorm2d(24) with affine=False normalizes whatever channel count
+  it receives, warning only).
+- The reference hard-codes its widths for in_chans=100 /
+  embed_dims=(96,192,384,192,96) (conv1 193->96 etc.); here every width is
+  derived from `dims`, which reproduces those numbers at that preset.
+
+TPU notes: window math is reshape-only; the continuous-position-bias MLP
+is evaluated once per block on an (N, N, 2) constant; the assistance
+pyramids are plain convs that XLA pipelines.
 """
 
 from __future__ import annotations
@@ -23,16 +38,26 @@ import numpy as np
 from flax import linen as nn
 
 from mp_hsir_tpu.models.layers import Conv2d, Linear
+from mp_hsir_tpu.models.zoo.common import conv_transpose2d
 from mp_hsir_tpu.ops.basic import pixel_shuffle
+from mp_hsir_tpu.ops.resize import resize_bilinear
 from mp_hsir_tpu.ops.window import window_partition, window_reverse
 
 Array = jax.Array
 
 
+def _reflect_conv(x: Array, features: int, kernel: int, pad: int, name: str,
+                  mod, groups: int = 1, stride: int = 1) -> Array:
+    """Conv with torch padding_mode='reflect'."""
+    if pad:
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    return Conv2d(features, kernel, stride=stride, groups=groups, name=name)(x)
+
+
 @lru_cache(maxsize=None)
 def _log_rel_positions(ws: int) -> np.ndarray:
     """(N, N, 2) sign(d) * log(1 + |d|) continuous coordinates (reference
-    get_relative_positions :125-133)."""
+    get_relative_positions :122-131)."""
     coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")).reshape(2, -1)
     rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0).astype(np.float32)
     return np.sign(rel) * np.log1p(np.abs(rel))
@@ -40,7 +65,7 @@ def _log_rel_positions(ws: int) -> np.ndarray:
 
 class WATT(nn.Module):
     """Window MSA whose relative position bias is an MLP of log-coords
-    (reference :24-55)."""
+    (reference :24-55; meta = Linear(2,256)+ReLU+Linear(256,nh))."""
 
     dim: int
     window_size: int
@@ -55,16 +80,17 @@ class WATT(nn.Module):
         attn = jnp.einsum("bnhd,bmhd->bhnm", q * dh ** -0.5, k,
                           preferred_element_type=jnp.float32)
         rel = jnp.asarray(_log_rel_positions(self.window_size))
-        bias = Linear(nh, name="meta2")(jax.nn.relu(Linear(256, name="meta1")(rel)))
+        bias = Linear(self.num_heads, name="meta_fc2")(
+            jax.nn.relu(Linear(256, name="meta_fc1")(rel)))
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         return jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bw, n, self.dim)
 
 
 class LayNormal(nn.Module):
-    """Per-sample global normalization returning (normalized, rescale,
-    rebias) where rescale/rebias are 1x1 projections of the std/mean
-    (reference :57-80)."""
+    """Per-sample GLOBAL normalization (mean/std over C,H,W) returning
+    (normalized, rescale, rebias); rescale/rebias are 1x1 projections of the
+    scalar std/mean maps (reference :57-80)."""
 
     dim: int
 
@@ -82,7 +108,8 @@ class LayNormal(nn.Module):
 
 class TB(nn.Module):
     """Transformer block: conditioned-norm window attention (+ parallel 5x5
-    depthwise on V) and a plain conv MLP (reference Att :135-236, TB :236-264)."""
+    reflect depthwise on V) and a plain conv MLP (reference Att :135-233,
+    TB :236-263; mlp_norm=False so norm2 is identity)."""
 
     dim: int
     num_heads: int
@@ -100,7 +127,7 @@ class TB(nn.Module):
             qk = Conv2d(self.dim * 2, 1, name="QK")(x)
             qkv = jnp.concatenate([qk, v], axis=-1)
             ws, s = self.window_size, self.shift
-            if s > 0:  # reflect-pad shift then crop (reference check_size)
+            if s > 0:  # reflect-pad shift then crop (reference check_size :182-192)
                 qkv = jnp.pad(qkv, ((0, 0), (s, (ws - s) % ws), (s, (ws - s) % ws), (0, 0)),
                               mode="reflect")
             hpad, wpad = qkv.shape[1], qkv.shape[2]
@@ -109,14 +136,13 @@ class TB(nn.Module):
             out = window_reverse(wins, ws, hpad, wpad)
             if s > 0:
                 out = out[:, s:s + x.shape[1], s:s + x.shape[2]]
-            conv_out = Conv2d(self.dim, 5, padding=2, groups=self.dim, name="conv")(v)
+            conv_out = _reflect_conv(v, self.dim, 5, 2, "conv", self, groups=self.dim)
             x = Conv2d(self.dim, 1, name="proj")(conv_out + out)
             x = x * rescale + rebias
         else:
             v = Conv2d(self.dim, 1, name="V")(x)
             x = Conv2d(self.dim, 1, name="proj")(
-                Conv2d(self.dim, 5, padding=2, groups=self.dim, name="conv")(v)
-            )
+                _reflect_conv(v, self.dim, 5, 2, "conv", self, groups=self.dim))
         x = identity + x
         h = Conv2d(int(self.dim * self.mlp_ratio), 1, name="mlp1")(x)
         return x + Conv2d(self.dim, 1, name="mlp2")(jax.nn.relu(h))
@@ -124,7 +150,7 @@ class TB(nn.Module):
 
 class LEGM(nn.Module):
     """depth TBs, attention enabled on the LAST attn_ratio fraction
-    (reference :266-300)."""
+    (reference :266-299)."""
 
     dim: int
     depth: int
@@ -144,7 +170,8 @@ class LEGM(nn.Module):
 
 
 class MFM(nn.Module):
-    """2-branch selective fusion (reference :339-366)."""
+    """2-branch selective fusion (reference :339-366; bias-free squeeze MLP,
+    softmax over branches)."""
 
     dim: int
 
@@ -154,64 +181,136 @@ class MFM(nn.Module):
         stack = jnp.stack(feats, axis=1)
         s = jnp.sum(stack, axis=1)
         z = jnp.mean(s, axis=(1, 2), keepdims=True)
-        z = Conv2d(self.dim * 2, 1, use_bias=False, name="mlp2")(
-            jax.nn.relu(Conv2d(d, 1, use_bias=False, name="mlp1")(z))
-        )
-        att = jax.nn.softmax(z.reshape(z.shape[0], 1, 1, 2, self.dim).transpose(0, 3, 1, 2, 4), axis=1)
+        z = Conv2d(self.dim * len(feats), 1, use_bias=False, name="mlp2")(
+            jax.nn.relu(Conv2d(d, 1, use_bias=False, name="mlp1")(z)))
+        att = z.reshape(z.shape[0], 1, 1, len(feats), self.dim).transpose(0, 3, 1, 2, 4)
+        att = jax.nn.softmax(att, axis=1)
         return jnp.sum(stack * att, axis=1)
 
 
 class DRDB(nn.Module):
-    """Dilated residual dense block on the 1-channel depth map
-    (reference :368-401)."""
+    """Dilated (rate 2) residual dense block (reference :368-401 /
+    DepthNet.py:5-45): 5 dense 3x3 convs + 1x1, relu'd residual."""
 
-    growth: int = 8
+    growth: int = 32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = x
         for i in range(5):
-            g = jax.nn.relu(_dilated3(h, self.growth, f"Dcov{i + 1}", self))
+            g = jax.nn.relu(self._dilated(h, self.growth, f"Dcov{i + 1}"))
             h = jnp.concatenate([h, g], axis=-1)
         return x + jax.nn.relu(Conv2d(x.shape[-1], 1, name="conv")(h))
 
-
-def _dilated3(x, feats, name, mod):
-    """3x3 dilation-2 conv via lax dilated window (torch padding=2)."""
-    cin = x.shape[-1]
-    w = mod.param(f"{name}_weight", nn.initializers.lecun_normal(), (3, 3, cin, feats))
-    b = mod.param(f"{name}_bias", nn.initializers.zeros, (feats,))
-    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-    y = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), (1, 1), ((2, 2), (2, 2)), rhs_dilation=(2, 2),
-        dimension_numbers=dn,
-    )
-    return y + b.astype(y.dtype)
+    def _dilated(self, x, feats, name):
+        cin = x.shape[-1]
+        w = self.param(f"{name}_weight", nn.initializers.lecun_normal(), (3, 3, cin, feats))
+        b = self.param(f"{name}_bias", nn.initializers.zeros, (feats,))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (1, 1), ((2, 2), (2, 2)), rhs_dilation=(2, 2),
+            dimension_numbers=dn)
+        return y + b.astype(y.dtype)
 
 
-class _AssistUNet(nn.Module):
-    """Small 3-level conv UNet emitting (quarter, half, full)-res assistance
-    features (role of UNet.py:79 + the d*_conv 1x1s folded in)."""
+class DoubleConv(nn.Module):
+    """(conv3x3 -> BN -> ReLU) x2 (UNet.py:5-18; eval-mode running stats)."""
 
-    c_full: int
-    c_half: int
-    c_quarter: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv2d(self.features, 3, padding=1, name="c0")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn0")(x)
+        x = jax.nn.relu(x)
+        x = Conv2d(self.features, 3, padding=1, name="c1")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-5, name="bn1")(x)
+        return jax.nn.relu(x)
+
+
+class AssistUNet(nn.Module):
+    """The reference's BN UNet (UNet.py:79-107, bilinear=True): maxpool
+    downs, align_corners=True bilinear ups, [skip ‖ up] concats; emits
+    (d1 @ H/4, d2 @ H/2, d3 @ H)."""
+
+    out_channels: int
+    base: int = 128
 
     @nn.compact
     def __call__(self, x: Array):
-        e0 = jax.nn.relu(Conv2d(self.c_full, 3, padding=1, name="enc0")(x))
-        e1 = jax.nn.relu(Conv2d(self.c_half, 3, stride=2, padding=1, name="enc1")(e0))
-        e2 = jax.nn.relu(Conv2d(self.c_quarter, 3, stride=2, padding=1, name="enc2")(e1))
-        d1 = jax.nn.relu(Conv2d(self.c_quarter, 3, padding=1, name="dec1")(e2))
-        d2 = jax.nn.relu(Conv2d(self.c_half, 3, padding=1, name="dec2")(e1))
-        d3 = jax.nn.relu(Conv2d(self.c_full, 3, padding=1, name="dec3")(e0))
+        c = self.base
+
+        def down(t, feats, name):
+            t = nn.max_pool(t, (2, 2), strides=(2, 2))
+            return DoubleConv(feats, name=name)(t)
+
+        def up(t, skip, feats, name):
+            t = resize_bilinear(t, t.shape[1] * 2, t.shape[2] * 2, align_corners=True)
+            return DoubleConv(feats, name=name)(jnp.concatenate([skip, t], axis=-1))
+
+        x1 = DoubleConv(c, name="inc")(x)
+        x2 = down(x1, c * 2, "down1")
+        x3 = down(x2, c * 4, "down2")
+        x4 = down(x3, c * 8, "down3")
+        x5 = down(x4, c * 8, "down4")
+        h = up(x5, x4, c * 4, "up1")
+        d1 = up(h, x3, c * 2, "up2")
+        d2 = up(d1, x2, c, "up3")
+        h = up(d2, x1, c, "up4")
+        d3 = Conv2d(self.out_channels, 1, name="outc")(h)
         return d1, d2, d3
+
+
+class DepthDN(nn.Module):
+    """The reference depth pyramid DN (DepthNet.py:48-89): DRDB chains with
+    stride-2 conv downs and ConvTranspose2d(k4,s2,p1) ups to a 1-channel
+    map. Widths (96,192,384,512) as hard-coded there."""
+
+    dims: Tuple[int, int, int, int] = (96, 192, 384, 512)
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        d = self.dims
+        h = DRDB(name="DRDB_layer1")(x)
+        h = Conv2d(d[0], 3, stride=2, padding=1, name="conv1")(h)
+        h = DRDB(name="DRDB_layer2")(h)
+        h = Conv2d(d[1], 3, stride=2, padding=1, name="conv2")(h)
+        h = DRDB(name="DRDB_layer3")(h)
+        h = Conv2d(d[2], 3, stride=2, padding=1, name="conv3")(h)
+        h = DRDB(name="DRDB_layer4")(h)
+        h = Conv2d(d[3], 3, stride=2, padding=1, name="conv4")(h)
+        h = DRDB(name="DRDB_layer5")(h)
+
+        def deconv(t, feats, name):
+            # weights stored pre-flipped/transposed to HWIO (see
+            # zoo.common.conv_transpose2d); k4 s2 p1 doubles H, W
+            w = self.param(f"{name}_weight", nn.initializers.lecun_normal(),
+                           (4, 4, t.shape[-1], feats))
+            b = self.param(f"{name}_bias", nn.initializers.zeros, (feats,))
+            return conv_transpose2d(t, w, b, stride=2, padding=1)
+
+        h = deconv(h, d[2], "up1")
+        h = DRDB(name="DRDB_layer6")(h)
+        h = deconv(h, d[1], "up2")
+        h = DRDB(name="DRDB_layer7")(h)
+        h = deconv(h, d[0], "up3")
+        h = DRDB(name="DRDB_layer8")(h)
+        h = deconv(h, 8, "up4")
+        return Conv2d(1, 1, name="final_conv")(h)
+
+
+def _instance_norm(x: Array) -> Array:
+    """torch InstanceNorm2d(affine=False): per-sample per-channel over H, W
+    (the reference's fuse_conv norms; channel count is irrelevant)."""
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mu) / jnp.sqrt(var + 1e-5)
 
 
 class DIACMPN(nn.Module):
     """5-stage DehazeFormer-style backbone with depth/UNet assistance and
-    cross-scale reweighted fusion (reference :404-578). Returns
-    (restored, d1, d2, d3) like the reference."""
+    cross-scale reweighted fusion (reference :404-574). Returns
+    (restored, d1, d2, d3) like the reference forward."""
 
     in_channels: int = 3
     out_channels: int = 3
@@ -221,6 +320,8 @@ class DIACMPN(nn.Module):
     num_heads: Tuple[int, int, int, int, int] = (2, 4, 6, 1, 1)
     mlp_ratios: Tuple[float, ...] = (2.0, 4.0, 4.0, 2.0, 2.0)
     attn_ratio: Tuple[float, ...] = (0.25, 0.5, 0.75, 0.0, 0.0)
+    unet_base: int = 128
+    dn_dims: Tuple[int, int, int, int] = (96, 192, 384, 512)
 
     @nn.compact
     def __call__(self, inp: Array):
@@ -232,31 +333,41 @@ class DIACMPN(nn.Module):
             return LEGM(dm[i], self.depths[i], self.num_heads[i], self.mlp_ratios[i],
                         self.window_size, self.attn_ratio[i], name=name)(t)
 
-        # assistance branches
-        d1, d2, d3 = _AssistUNet(dm[0], dm[0], dm[1], name="unet1")(x)
-        dp = jax.nn.relu(Conv2d(1, 3, padding=1, name="dpn")(x))  # depth proxy
+        # assistance branches (reference forward_features :518-527)
+        d1, d2, d3 = AssistUNet(self.out_channels, self.unet_base, name="Unet1")(x)
+        d3 = Conv2d(dm[0], 1, name="d3_conv")(d3)
+        d2 = Conv2d(dm[0], 1, name="d2_conv")(d2)
+        d1 = Conv2d(dm[1], 1, name="d1_conv")(d1)
+        dp = DepthDN(self.dn_dims, name="dpn")(x)
         d = DRDB(name="drdb")(dp)
 
-        h = Conv2d(dm[0], 3, padding=1, name="patch_embed")(x)
+        h = _reflect_conv(x, dm[0], 3, 1, "patch_embed", self)
         x1 = legm(Conv2d(dm[0], 1, name="conv1")(jnp.concatenate([h, d3, d], axis=-1)), 0, "legm1")
         h = Conv2d(dm[1], 2, stride=2, name="patch_merge1")(x1)
         x2 = legm(Conv2d(dm[1], 1, name="conv2")(jnp.concatenate([h, d2], axis=-1)), 1, "legm2")
-        h = Conv2d(dm[2], 2, stride=2, name="patch_merge2")(x2)
-        x3 = legm(Conv2d(dm[2], 1, name="conv3")(jnp.concatenate([h, d1], axis=-1)), 2, "legm3")
+        merged2 = Conv2d(dm[2], 2, stride=2, name="patch_merge2")(x2)
+        x3 = legm(Conv2d(dm[2], 1, name="conv3")(jnp.concatenate([merged2, d1], axis=-1)), 2, "legm3")
 
-        # cross-scale reweighting (reference :539-556)
+        # cross-scale reweighting (reference :537-553)
         pooled = jnp.concatenate(
-            [jnp.mean(t, axis=(1, 2), keepdims=True) for t in (x1, x2, x3)], axis=-1
-        )
+            [jnp.mean(t, axis=(1, 2), keepdims=True) for t in (x1, x2, x3)], axis=-1)
         w123 = Conv2d(3, 1, name="ca2")(jax.nn.relu(Conv2d(256, 1, name="ca1")(pooled)))
         w1, w2, w3 = jnp.split(w123, 3, axis=-1)
-        up2 = jnp.repeat(jnp.repeat(x2 * w2, 2, axis=1), 2, axis=2)
+        up2 = jnp.repeat(jnp.repeat(x2 * w2, 2, axis=1), 2, axis=2)  # nearest x2
         up3 = jnp.repeat(jnp.repeat(x3 * w3, 4, axis=1), 4, axis=2)
         fuse = jnp.concatenate([x1 * w1, up2, up3], axis=-1)
-        fuse2 = jax.nn.relu(Conv2d(dm[1], 3, stride=2, padding=1, name="fuse_conv2")(fuse))
-        fuse3 = jax.nn.relu(Conv2d(dm[2], 5, stride=4, padding=1, name="fuse_conv3")(fuse))
+        # fuse_conv1 is computed-then-unused in the reference (:550); keep the
+        # call so parameters exist — XLA dead-code-eliminates it
+        _ = jax.nn.relu(_instance_norm(Conv2d(dm[0], 3, padding=1, name="fuse_conv1")(fuse)))
+        fuse2 = jax.nn.relu(_instance_norm(
+            Conv2d(dm[1], 3, stride=2, padding=1, name="fuse_conv2")(fuse)))
+        fuse3 = jax.nn.relu(_instance_norm(
+            Conv2d(dm[2], 5, stride=4, padding=1, name="fuse_conv3")(fuse)))
 
-        h = Conv2d(dm[2], 1, name="conv_d1")(jnp.concatenate([fuse3, x3], axis=-1))
+        # reference :548 concats fuse_3 with the PRE-legm3 patch_merge2
+        # features (`x` was last assigned at :534); legm3's output feeds only
+        # the reweighting branch above — a reference quirk kept for parity
+        h = Conv2d(dm[2], 1, name="conv_d1")(jnp.concatenate([fuse3, merged2], axis=-1))
         h = pixel_shuffle(Conv2d(dm[3] * 4, 1, name="patch_split1")(h), 2)
         h = MFM(dm[3], name="mfm1")([h, Conv2d(dm[1], 1, name="skip2")(x2)]) + h
         h = legm(Conv2d(dm[3], 1, name="conv4")(jnp.concatenate([h, d2], axis=-1)), 3, "legm4")
@@ -264,6 +375,7 @@ class DIACMPN(nn.Module):
         h = pixel_shuffle(Conv2d(dm[4] * 4, 1, name="patch_split2")(h), 2)
         h = MFM(dm[4], name="mfm2")([h, Conv2d(dm[0], 1, name="skip1")(x1)]) + h
         h = legm(Conv2d(dm[4], 1, name="conv5")(jnp.concatenate([h, d3], axis=-1)), 4, "legm5")
-        out = Conv2d(self.out_channels, 3, padding=1, name="patch_unembed")(h)
+        out = _reflect_conv(h, self.out_channels, 3, 1, "patch_unembed", self)
         out = (out + x).transpose(0, 3, 1, 2)
-        return out, d1.transpose(0, 3, 1, 2), d2.transpose(0, 3, 1, 2), d3.transpose(0, 3, 1, 2)
+        return (out, d1.transpose(0, 3, 1, 2), d2.transpose(0, 3, 1, 2),
+                d3.transpose(0, 3, 1, 2))

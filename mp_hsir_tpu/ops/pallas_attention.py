@@ -173,6 +173,8 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     provably poisoned whole-program layout assignment: standalone LN
     reductions at 512^2 went from ~0.2 to ~4 ms each)."""
     _, ws8, w, c = x_ref.shape
+    n_rows = ws8 // 8  # window-rows per slab (>1 amortizes per-slab fixed
+    #                    cost at small widths — see fused wrapper)
     dh = c // num_heads
     n_seg = w // seg_w
     t = 8 * seg_w
@@ -187,6 +189,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         # and the next (wrapped) one — the separate roll_hw pass (a full
         # read+write of the map) never happens. Rows 8i+4..8i+12 (mod H),
         # columns rotated left by 4 (cyclic, matching jnp.roll).
+        # (shift_in slabs are always a single window-row)
         stack = jnp.concatenate([x_ref[0, 4:], x_nxt[0, :4]], axis=0)  # (8, W, C)
         slab = jnp.concatenate([stack[:, 4:], stack[:, :4]], axis=1)
         xf = slab.reshape(ws8 * w, c).astype(jnp.float32)
@@ -196,10 +199,10 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
                   + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
 
-    def seg(p, _):
-        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
+    def seg(r, p):
+        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
         if has_mask:
-            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w) int32
+            lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
             lab_r = lab.reshape(t, 1)
             off = lab_r != lab_r.reshape(1, t)
 
@@ -218,13 +221,14 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             outs.append(
                 jnp.dot(attn.astype(dt), v, preferred_element_type=jnp.float32).astype(dt)
             )
-        o_ref[:, pl.ds(p * seg_w, seg_w), :] = jnp.concatenate(outs, axis=1).reshape(ws8, seg_w, c)
-        return 0
+        o_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :] = (
+            jnp.concatenate(outs, axis=1).reshape(8, seg_w, c))
 
     # unrolled: Mosaic schedules/pipelines the small attention dots better
     # than a fori_loop here (measured)
-    for _p in range(n_seg):
-        seg(_p, 0)
+    for _r in range(n_rows):
+        for _p in range(n_seg):
+            seg(_r, _p)
     # slab-wide output projection
     y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
@@ -234,12 +238,13 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     # (outside the kernel this is a full extra read of the map). The column
     # 8-group reduction is a tiny 0/1-matrix dot: Mosaic rejects the
     # (W, C) -> (W/8, 8, C) sublane-split reshape.
-    rowsum = jnp.sum(y_dt.astype(jnp.float32), axis=0)  # (W, C)
     pool_rows = jax.lax.broadcasted_iota(jnp.int32, (w // 8, w), 0)
     pool_cols = jax.lax.broadcasted_iota(jnp.int32, (w // 8, w), 1) // 8
     pool_mat = (pool_rows == pool_cols).astype(jnp.float32)  # (W/8, W)
-    pooled = jnp.dot(pool_mat, rowsum, preferred_element_type=jnp.float32) * (1.0 / 64.0)
-    pooled_ref[0, 0] = pooled.astype(pooled_ref.dtype)
+    for r in range(n_rows):
+        rowsum = jnp.sum(y_dt[r * 8 : r * 8 + 8].astype(jnp.float32), axis=0)  # (W, C)
+        pooled = jnp.dot(pool_mat, rowsum, preferred_element_type=jnp.float32) * (1.0 / 64.0)
+        pooled_ref[0, r] = pooled.astype(pooled_ref.dtype)
 
 
 def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
@@ -298,6 +303,15 @@ def fused_ln_window_attention_nhwc(
     seg_w = int(os.environ.get("PALLAS_WIN_SEG", "16"))
     if seg_w % 8 != 0 or w % seg_w != 0:
         seg_w = 16  # segments must hold whole 8-wide windows
+    # window-rows per slab (PALLAS_WIN_ROWS): MEASURED NEGATIVE — batching
+    # 2-4 window-rows per grid step at 256^2/128^2 ran 8-14% SLOWER than
+    # 8-row slabs (0.825->0.890 ms at 256^2 d128, 0.496->0.566 at 128^2
+    # d256): fewer, larger grid steps lose DMA/compute overlap. Kept as an
+    # experiment knob only; the default stays 1.
+    rows = int(os.environ.get("PALLAS_WIN_ROWS", "1"))
+    rows = max(1, min(rows, h // 8))
+    while (h // 8) % rows != 0:
+        rows -= 1
     bias2d = segment_bias(rel_bias, seg_w)
     # fold the dh**-0.5 score scale into the q columns (and q bias) so the
     # kernel never multiplies the (T, T) score tiles
@@ -316,19 +330,25 @@ def fused_ln_window_attention_nhwc(
                  else region_map.reshape(1, h, w, 1).astype(jnp.int32))
         return window_fused(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
                             num_heads=num_heads, eps=eps, seg_w=seg_w,
-                            interpret=interpret)
+                            rows=rows, interpret=interpret)
     return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
                          region_map, num_heads=num_heads, eps=eps,
-                         seg_w=seg_w, shift_in=shift_in, interpret=interpret)
+                         seg_w=seg_w, shift_in=shift_in, rows=rows,
+                         interpret=interpret)
 
 
 def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
-                  num_heads, eps, seg_w, shift_in, interpret):
+                  num_heads, eps, seg_w, shift_in, interpret, rows=1):
     """Raw (non-differentiable) forward pallas_call on PREPARED args (scale
     already folded into wqkv/bqkv, bias2d segment-ordered); weights arrive
-    f32 and are cast to the compute dtype here."""
+    f32 and are cast to the compute dtype here. ``rows`` = window-rows per
+    grid step (slab = 8*rows map rows); must divide h//8. shift_in requires
+    rows == 1 (the in-kernel roll reads the next 8-row block)."""
     b, h, w, c = x.shape
-    grid = (b, h // 8)
+    if shift_in or (h // 8) % rows != 0:
+        rows = 1
+    ws8 = 8 * rows
+    grid = (b, h // ws8)
     dt = x.dtype
     ln_w, ln_b = ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)
     wqkv, bqkv = wqkv.astype(dt), bqkv.astype(jnp.float32)
@@ -342,7 +362,7 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bqkv
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
     ]
-    xspec = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+    xspec = pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
     tail = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
@@ -360,7 +380,7 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         args = (x, x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     elif region_map is not None:
         lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
-        lspec = pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
+        lspec = pl.BlockSpec((1, ws8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
         kern = functools.partial(_nhwc_kernel_masked, num_heads=num_heads, eps=eps, seg_w=seg_w)
         in_specs = [xspec] + common + [lspec] + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
@@ -374,16 +394,16 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
             jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, w, 3 * c), x.dtype),  # slab qkv
-            pltpu.VMEM((8, w, c), x.dtype),      # pre-projection attention out
+            pltpu.VMEM((ws8, w, 3 * c), x.dtype),  # slab qkv
+            pltpu.VMEM((ws8, w, c), x.dtype),      # pre-projection attention out
         ],
         # the in-kernel pooled-mean epilogue pushes the 512-wide d128 slab
         # just past the default 16MB scoped-vmem cap; v5e has 128MB VMEM

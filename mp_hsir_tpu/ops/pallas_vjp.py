@@ -595,7 +595,7 @@ def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
 
 @functools.lru_cache(maxsize=None)
 def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
-              interpret: bool):
+              interpret: bool, rows: int = 1):
     """custom_vjp core over (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp
     [, lab4d]); wqkv/bqkv arrive SCALE-FOLDED and f32, bias2d in segment
     order (the folding/gather are plain jnp outside — autodiff maps dbias2d
@@ -603,9 +603,11 @@ def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
     from mp_hsir_tpu.ops.pallas_attention import _win_raw_call
 
     def run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
+        # `rows` only re-grids the forward; values are identical and the
+        # backward kernel re-derives everything from the raw inputs
         return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
                              num_heads=num_heads, eps=eps, seg_w=seg_w,
-                             shift_in=False, interpret=interpret)
+                             shift_in=False, rows=rows, interpret=interpret)
 
     def run_bwd(res, cot):
         dmap, dpool = cot
@@ -649,9 +651,9 @@ def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
 
 
 def window_fused(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d, *,
-                 num_heads, eps, seg_w, interpret=False):
+                 num_heads, eps, seg_w, rows=1, interpret=False):
     core = _win_core(num_heads, float(eps), int(seg_w), lab4d is not None,
-                     bool(interpret))
+                     bool(interpret), int(rows))
     if lab4d is None:
         return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
     return core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)

@@ -29,9 +29,10 @@ def test_instructir_tiny():
 def test_prompthsi_tiny():
     from mp_hsir_tpu.models.zoo.prompthsi import PromptHSI
 
-    m = PromptHSI(in_channels=6, dim=8, depths=(1, 1, 1), heads=(2, 2, 2), embed_dim=12)
-    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 6, 32, 32)).astype(np.float32))
-    emb = jnp.asarray(np.random.default_rng(3).standard_normal((1, 12)).astype(np.float32))
-    params = jax.jit(lambda r: m.init(r, x, emb))(jax.random.key(0))
-    y = jax.jit(lambda p, xx, e: m.apply(p, xx, e))(params, x, emb)
+    m = PromptHSI(in_channels=6, embed_dim=8, task_classes=6, num_blocks_tf=1,
+                  num_layers=(1, 1), num_heads=8)
+    x = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 6, 16, 16)).astype(np.float32))
+    tid = jnp.zeros((1,), jnp.int32)
+    variables = jax.jit(lambda r: m.init(r, x, tid))(jax.random.key(0))
+    y = jax.jit(lambda v, xx, t: m.apply(v, xx, t))(variables, x, tid)
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())

@@ -623,3 +623,169 @@ def test_mbtaylorformer_parity():
                       lambda v: v.transpose(2, 3, 1, 0))])
     np.testing.assert_allclose(_fwd_jax(model, params, x), _fwd_torch(ref, x),
                                atol=5e-5, rtol=1e-4)
+
+
+def test_prompthsi_parity():
+    """reference: promptHSI.py:1138 (PromptHSI) — encoder BN running stats,
+    dense Swin RDGs, grouped RDBs, cross/spatial/spectral attentions, shared
+    text-FiLM adapter; both sides read the SAME frozen clip table (the torch
+    side through the stubbed clip.load). 32x32 input exercises the shifted
+    windows at decoder2 and the window clamp at decoder4/3."""
+    from zoo_ref_util import convert_zoo_variables
+
+    mod = load_ref("promptHSI.py")
+    torch.manual_seed(0)
+    ref = mod.PromptHSI(img_size=(32, 32, 32), in_channel=5, embeding_dim=8,
+                        task_classes=6, num_blocks_tf=1, num_layers=(1, 1),
+                        num_heads=8, window_size=(8, 8, 8)).eval()
+
+    from mp_hsir_tpu.models.zoo.prompthsi import PromptHSI
+
+    model = PromptHSI(in_channels=5, embed_dim=8, task_classes=6,
+                      num_blocks_tf=1, num_layers=(1, 1), num_heads=8)
+    x = RNG.uniform(0, 1, (1, 5, 32, 32)).astype(np.float32)
+    tid = np.array([3], dtype=np.int64)
+    target = jax.jit(lambda r: model.init(r, jnp.asarray(x), jnp.asarray(tid)))(
+        jax.random.key(0))
+    rules = [
+        (r"^enhance\.(\d+)\.", r"enhance_\1."),
+        (r"^enhance_(\d+)\.ffn\.", r"enhance_\1."),
+        (r"\.spectral_branch\.(\d+)\.", r".spectral_branch_\1."),
+        (r"\.spatial_branch\.layers\.(\d+)\.", r".spatial_branch.layers_\1."),
+        (r"\.spatial_branch\.patch_embed\.norm\.", ".spatial_branch.patch_norm."),
+        (r"\.feature_fusion\.fusion_proj\.", ".fusion_proj."),
+        (r"\.MLP\.0\.", ".mlp_fc1."),
+        (r"\.MLP\.2\.", ".mlp_fc2."),
+        (r"\.attention_spectral\.norm\.body\.", ".attention_spectral.norm."),
+        (r"\.norm(\d)\.body\.", r".norm\1."),
+        (r"^encoder\.conv([234])\.0\.", r"encoder.conv\1.dw."),
+        (r"^encoder\.conv([234])\.1\.", r"encoder.conv\1.pw."),
+        (r"^encoder\.conv([234])\.2\.", r"encoder.conv\1.bn."),
+    ]
+    variables = convert_zoo_variables(
+        ref, target, rules=rules,
+        skip=(r"relative_position_index", r"attn_mask", r"num_batches_tracked"))
+    got = np.asarray(jax.jit(
+        lambda v, xx, t: model.apply(v, xx, t))(variables, jnp.asarray(x),
+                                                jnp.asarray(tid)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(x.copy()),
+                   torch.from_numpy(tid))[0].numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+def test_diacmpn_parity():
+    """reference: dehaze/DIACMPN_arch.py:404 (DIACMPN) with its REAL
+    assistance nets (UNet.py:107 BN UNet, DepthNet.py:48 DN depth pyramid).
+    The reference hard-codes 100 bands (DN's DRDB_layer1 in_ch=100,
+    DIACMPN_arch.py:475-509 fusion widths for embed_dims 96/192/384), so
+    the test runs the full widths at 32x32 with depths (2,2,2,2,2) —
+    attention (incl. the shifted reflect-pad window path and LayNormal
+    conditioning) is exercised at stages 2 and 3 by attn_ratio (1/2, 3/4).
+    conv11/conv22/conv_fu/ccc are dead parameters in the reference forward
+    and are skipped."""
+    from zoo_ref_util import convert_zoo_variables
+
+    mod = load_ref("dehaze/DIACMPN_arch.py")
+    torch.manual_seed(0)
+    ref = mod.DIACMPN(in_chans=100, out_chans=100,
+                      embed_dims=[96, 192, 384, 192, 96],
+                      depths=[2, 2, 2, 2, 2]).eval()
+
+    from mp_hsir_tpu.models.zoo.diacmpn import DIACMPN
+
+    model = DIACMPN(in_channels=100, out_channels=100,
+                    dims=(96, 192, 384, 192, 96), depths=(2, 2, 2, 2, 2),
+                    num_heads=(2, 4, 6, 1, 1))
+    x = RNG.uniform(0, 1, (1, 100, 32, 32)).astype(np.float32)
+    target = jax.jit(lambda r: model.init(r, jnp.asarray(x)))(jax.random.key(0))
+    rules = [
+        # assistance UNet: Sequential DoubleConv (conv.0/1/3/4 -> c0/bn0/c1/bn1)
+        (r"^Unet1\.down(\d)\.mpconv\.1\.", r"Unet1.down\1."),
+        (r"^Unet1\.up(\d)\.conv\.", r"Unet1.up\1."),
+        (r"\.conv\.0\.", ".c0."), (r"\.conv\.1\.", ".bn0."),
+        (r"\.conv\.3\.", ".c1."), (r"\.conv\.4\.", ".bn1."),
+        # depth pyramid: custom dilated-conv / deconv params
+        (r"\.Dcov(\d)\.weight$", r".Dcov\1_weight"),
+        (r"\.Dcov(\d)\.bias$", r".Dcov\1_bias"),
+        (r"^dpn\.up(\d)\.weight$", r"dpn.up\1_weight"),
+        (r"^dpn\.up(\d)\.bias$", r"dpn.up\1_bias"),
+        # backbone embeds
+        (r"^patch_embed\.proj\.", "patch_embed."),
+        (r"^patch_merge(\d)\.proj\.", r"patch_merge\1."),
+        (r"^patch_split(\d)\.proj\.0\.", r"patch_split\1."),
+        (r"^patch_unembed\.proj\.0\.", "patch_unembed."),
+        # transformer blocks
+        (r"\.blocks\.(\d+)\.", r".blocks_\1."),
+        (r"\.attn\.attn\.meta\.0\.", ".attn.meta_fc1."),
+        (r"\.attn\.attn\.meta\.2\.", ".attn.meta_fc2."),
+        (r"\.attn\.(V|QK|proj|conv)\.", r".\1."),
+        (r"\.mlp\.mlp\.0\.", ".mlp1."),
+        (r"\.mlp\.mlp\.2\.", ".mlp2."),
+        # fusion heads
+        (r"^mfm(\d)\.mlp\.0\.", r"mfm\1.mlp1."),
+        (r"^mfm(\d)\.mlp\.2\.", r"mfm\1.mlp2."),
+        (r"^ca\.0\.", "ca1."), (r"^ca\.2\.", "ca2."),
+        (r"^fuse_conv(\d)\.0\.", r"fuse_conv\1."),
+    ]
+    variables = convert_zoo_variables(
+        ref, target, rules=rules,
+        value_hooks=[
+            (r"\.norm1\.(weight|bias)$", lambda v: v.reshape(-1)),
+            (r"\.Dcov\d\.weight$", lambda v: v.transpose(2, 3, 1, 0)),
+            (r"^dpn\.up\d\.weight$",
+             lambda v: np.flip(v, (2, 3)).transpose(2, 3, 0, 1).copy()),
+        ],
+        skip=(r"relative_positions$", r"num_batches_tracked",
+              r"^(conv11|conv22|conv_fu|ccc)\."))
+    got = jax.jit(lambda v, xx: model.apply(v, xx))(variables, jnp.asarray(x))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_pipnet_parity():
+    """reference: PIP_Net.py:15 (PIPNet_Restormer_onskip_inter,
+    prompt_interaction_mode='pip_cross_topm'). The reference hard-codes
+    reduce_chan_level3 = Conv2d(dim*2 + 192, ...) (PIP_Net.py:100) which
+    only type-checks at dim=48, so the test runs dim=48 with 1-block
+    stages. low_prompt_dims (64, 48, 24) exercise all three channel-align
+    branches of the Topm interaction (PIP_utils.py:556-575): level1
+    feat48<prompt64 (zero-pad + reduce_channel), levels 2/3 feat>prompt
+    (split + re-concat). reduce_noise_channel_* are created-but-unused in
+    the reference forward and are skipped."""
+    mod = load_ref("PIP_Net.py")
+    torch.manual_seed(0)
+    ref = mod.PIPNet_Restormer_onskip_inter(
+        inp_channels=5, out_channels=5, dim=48, num_blocks=[1, 1, 1, 1],
+        num_refinement_blocks=1, heads=[1, 2, 4, 8],
+        low_prompt_dims=[64, 48, 24], low_prompt_sizes=[16, 8, 4],
+        degradation_num=6).eval()
+
+    from mp_hsir_tpu.models.zoo.pipnet import PIPNet
+
+    model = PIPNet(in_channels=5, out_channels=5, dim=48,
+                   num_blocks=(1, 1, 1, 1), num_refinement=1,
+                   heads=(1, 2, 4, 8), task_classes=6,
+                   low_prompt_dims=(64, 48, 24), low_prompt_sizes=(16, 8, 4))
+    x = RNG.uniform(0, 1, (1, 5, 32, 32)).astype(np.float32)
+    tid = np.array([3], dtype=np.int64)
+    target = jax.jit(lambda r: model.init(r, jnp.asarray(x), jnp.asarray(tid)))(
+        jax.random.key(0))["params"]
+    rules = [
+        _SEQ_STAGES, _UPDOWN_BODY,
+        # PromptToFeature wraps the Topm block (PIP.py:505-555)
+        (r"\.prompt_transformer_cross\.", "."),
+        (r"\.norm(1[12]?|2)\.body\.", r".norm\1."),
+    ]
+    params = convert_zoo_state(
+        ref, target, rules=rules,
+        skip=(r"^reduce_noise_channel_\d\.",))
+    got = np.asarray(jax.jit(
+        lambda p, xx, t: model.apply({"params": p}, xx, t))(
+            params, jnp.asarray(x), jnp.asarray(tid)))
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(tid))[0].numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)

@@ -147,6 +147,20 @@ def load_ref(relpath: str):
         sys.modules["torchvision.ops.deform_conv"] = tvdc
         if "torchvision" in sys.modules:
             sys.modules["torchvision"].ops = tvo
+    # PIP.py does `from torchvision import transforms` at module scope; only
+    # Cross_Attention (unused by the tested forward) touches Resize. ref_torch.
+    # install_stubs already registers a bare `torchvision` — extend it.
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    if not hasattr(tv, "transforms"):
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.Resize = lambda *a, **k: (lambda t: t)
+        tv.transforms = tvt
+        sys.modules["torchvision.transforms"] = tvt
+    tv.utils = sys.modules.get("torchvision.utils")
+    tv.ops = sys.modules.get("torchvision.ops")
     if "torchstat" not in sys.modules:  # MB_TaylorFormer_arch imports stat
         tst = types.ModuleType("torchstat")
         tst.stat = lambda *a, **k: None
@@ -171,15 +185,24 @@ def load_ref(relpath: str):
             h = 0.7071067811865476
 
             class _Haar:
+                # Haar filter bank; non-haar names (e.g. promptHSI's sym19
+                # SWT loss) get these as VALID-but-placeholder filters —
+                # fine for tests that never compare loss values.
                 dec_lo = [h, h]
                 dec_hi = [-h, h]
                 rec_lo = [h, h]
                 rec_hi = [h, -h]
                 filter_bank = ([h, h], [-h, h], [h, h], [h, -h])
 
-                def __init__(self, name="haar"):
-                    assert name == "haar", name
+                def __init__(self, name="haar", filter_bank=None):
                     self.name = name
+                    if filter_bank is not None:
+                        # pywt custom-wavelet API (promptHSI.py:1715 builds a
+                        # normalized bank for its SWT loss)
+                        self.dec_lo, self.dec_hi, self.rec_lo, self.rec_hi = (
+                            [float(v) for v in f] for f in filter_bank)
+                        self.filter_bank = (self.dec_lo, self.dec_hi,
+                                            self.rec_lo, self.rec_hi)
 
             pywt_m = types.ModuleType("pywt")
             pywt_m.Wavelet = _Haar
@@ -196,7 +219,8 @@ def load_ref(relpath: str):
         sbn.SynchronizedBatchNorm3d = _nn.BatchNorm3d
         sys.modules["sync_batchnorm"] = sbn
     added = []
-    for extra in (_ROOT, f"{_ROOT}/general", f"{_ROOT}/denosie", f"{_ROOT}/deblur"):
+    for extra in (_ROOT, f"{_ROOT}/general", f"{_ROOT}/denosie", f"{_ROOT}/deblur",
+                  "/root/reference/net"):  # PIP_Net: `from comparison_methods.PIP import *`
         if extra not in sys.path:
             sys.path.insert(0, extra)
             added.append(extra)
@@ -277,7 +301,7 @@ def convert_zoo_variables(ref_net, target_vars, rules=(), value_hooks=(),
             stats_flat[dest] = v
             loaded += 1
             continue
-        if path[:-1] and path[-2] == "bn" and leaf in ("weight", "bias"):
+        if path[:-1] and path[-2].startswith("bn") and leaf in ("weight", "bias"):
             dest = path[:-1] + ("scale" if leaf == "weight" else "bias",)
             if dest in params_flat:
                 assert v.shape == params_flat[dest].shape, (k, v.shape)
