@@ -74,7 +74,10 @@ def main() -> None:
     # number. Report the median iteration.
     import numpy as np
 
-    n_iter = int(os.environ.get("BENCH_ITERS", "10"))
+    # 30 iterations: the pipelined loop pays a fixed ~30-40 ms first-dispatch
+    # bubble on the tunnel; at 10 iters that inflates per-cube time ~6%,
+    # at 30 the number converges to the device's steady-state throughput.
+    n_iter = int(os.environ.get("BENCH_ITERS", "30"))
     xs = [
         jax.random.uniform(jax.random.key(i + 2), (batch, cfg.in_channels, h, w), jnp.float32)
         for i in range(n_iter)
@@ -93,9 +96,19 @@ def main() -> None:
     # number used through round 2; both are recorded in BENCH_NOTES.md.
     mode = os.environ.get("BENCH_MODE", "pipeline")
     if mode == "pipeline":
+        # ONE executable per cube returning (full output, tiny probe): the
+        # full cube materializes on device, the probe is what crosses the
+        # tunnel. Separate fwd + probe dispatches cost one extra enqueue RPC
+        # per cube (~2 ms each on the tunnel).
+        @jax.jit
+        def fwd_probe(p, x, t):
+            y = model.apply({"params": p}, x, t)
+            return y, y[0, 0, :4, :4]
+
+        np.asarray(fwd_probe(params, xs[0], tid)[1])  # warm
         t0 = time.perf_counter()
-        outs = [probe(fwd(params, xi, tid)) for xi in xs]
-        for o in outs:
+        outs = [fwd_probe(params, xi, tid) for xi in xs]
+        for _, o in outs:
             np.asarray(o)
         total = time.perf_counter() - t0
         cubes_per_sec = batch * n_iter / total
