@@ -17,20 +17,12 @@ def test_sst_tiny():
 
 
 def test_sert_tiny():
+    # faithful-rebuild API (torch-oracle parity: tests/test_zoo_round2.py)
     from mp_hsir_tpu.models.zoo.sert import SERT
 
-    m = SERT(in_channels=6, dim=12, depths=(2,), num_heads=(2,), rect=(8, 2))
+    m = SERT(in_channels=6, dim=12, depths=(2,), num_heads=(2,),
+             window_sizes=(8,), split_sizes=(1,), down_rank=4, memory_blocks=8)
     x = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (1, 6, 16, 16)).astype(np.float32))
     params = jax.jit(lambda r: m.init(r, x))(jax.random.key(0))
     y = jax.jit(lambda p, xx: m.apply(p, xx))(params, x)
     assert y.shape == x.shape and bool(jnp.isfinite(y).all())
-
-
-def test_rect_partition_roundtrip():
-    from mp_hsir_tpu.models.zoo.sert import _rect_partition, _rect_reverse
-
-    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 8, 12, 3)).astype(np.float32))
-    w = _rect_partition(x, 4, 2)
-    assert w.shape == (2 * 2 * 6, 8, 3)
-    back = _rect_reverse(w, 4, 2, 8, 12)
-    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
