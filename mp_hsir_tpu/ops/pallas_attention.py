@@ -117,11 +117,18 @@ def _kernel_unmasked(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_re
 
 
 def _ln_rows(x2d, lnw_ref, lnb_ref, eps, dt):
-    """f32 LayerNorm over the lane axis of a (rows, C) tile -> dt."""
+    """f32 LayerNorm over the lane axis of a (rows, C) tile -> dt.
+
+    Both C-wide cross-lane reductions (mean, variance) ride the MXU as
+    ones-vector dots instead of multi-pass VPU shuffle trees; the variance
+    dot runs on the CENTERED values, so there is no meansq - mu^2
+    cancellation."""
     xf = x2d.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=1, keepdims=True)
+    c = xf.shape[1]
+    ones = jnp.ones((c, 1), jnp.float32)
+    mu = jnp.dot(xf, ones, preferred_element_type=jnp.float32) * (1.0 / c)
     xc = xf - mu
-    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    var = jnp.dot(xc * xc, ones, preferred_element_type=jnp.float32) * (1.0 / c)
     return (xc * jax.lax.rsqrt(var + eps) * lnw_ref[:].astype(jnp.float32)
             + lnb_ref[:].astype(jnp.float32)).astype(dt)
 
@@ -207,6 +214,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             off = lab_r != lab_r.reshape(1, t)
 
         outs = []
+        ones_col = jnp.ones((t, 1), dt)
         for h in range(num_heads):
             q = qkv[:, h * dh : (h + 1) * dh]
             k = qkv[:, c + h * dh : c + (h + 1) * dh]
@@ -216,11 +224,17 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             )
             attn = attn + bias_ref[h * t : (h + 1) * t, :]
             if has_mask:
-                attn = jnp.where(off, -jnp.inf, attn)
-            attn = jax.nn.softmax(attn, axis=-1)
-            outs.append(
-                jnp.dot(attn.astype(dt), v, preferred_element_type=jnp.float32).astype(dt)
-            )
+                attn = jnp.where(off, -1e9, attn)
+            # softmax without cross-lane VPU reductions: no max-subtract
+            # (scores clipped to +-80 so exp stays in f32/bf16 range; masked
+            # entries land at exp(-80)=1.8e-35, negligible vs any live
+            # score) and the row denominator rides the value dot as an
+            # appended ones column (the MXU computes it alongside p @ v) —
+            # the 7-pass lane max and sum reductions both vanish
+            p_exp = jnp.exp(jnp.clip(attn, -80.0, 80.0)).astype(dt)
+            pv = jnp.dot(p_exp, jnp.concatenate([v, ones_col], axis=1),
+                         preferred_element_type=jnp.float32)
+            outs.append((pv[:, :dh] / pv[:, dh : dh + 1]).astype(dt))
         o_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :] = (
             jnp.concatenate(outs, axis=1).reshape(8, seg_w, c))
 
