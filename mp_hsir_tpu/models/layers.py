@@ -224,7 +224,8 @@ class GDFNFusedNHWC(nn.Module):
     residual: bool = False  # write x + gdfn(ln(x)) in-kernel
 
     @nn.compact
-    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
+    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
+                 proj_w: Optional[Array] = None) -> Array:
         from mp_hsir_tpu.ops.pallas_attention import fused_ln_gdfn_nhwc
 
         hidden = int(self.dim * self.expansion)
@@ -233,7 +234,7 @@ class GDFNFusedNHWC(nn.Module):
                              in_features=hidden * 2, name="dwconv")()
         w_out, _ = ConvParams(self.dim, 1, use_bias=False, in_features=hidden, name="project_out")()
         return fused_ln_gdfn_nhwc(x_map, ln_w, ln_b, w_in, w_dw, w_out,
-                                  residual=self.residual)
+                                  residual=self.residual, proj_w=proj_w)
 
 
 class GatedMlpParams(nn.Module):
@@ -331,7 +332,7 @@ class SpectralAttention(nn.Module):
                  gate: Optional[Array] = None,
                  shortcut: Optional[Array] = None,
                  shifted: bool = False,
-                 mlp_params=None) -> Array:
+                 mlp_params=None, x2: Optional[Array] = None) -> Array:
         """The optional kwargs are Pallas-path fused epilogues (caller must
         only pass them on kernel-eligible shapes/configs):
 
@@ -339,11 +340,15 @@ class SpectralAttention(nn.Module):
         * ``residual``: return ``x + attn(...)``;
         * ``gate`` (B, H/8, W/8, C) / ``shortcut``: the PGSSTB epilogue —
           return ``[shortcut +] x * gate + attn(x)`` (``shifted``: x is the
-          rolled frame; the kernel rolls back and shifts the gate indexing).
+          rolled frame; the kernel rolls back and shifts the gate indexing);
+        * ``x2``: the logical input is ``cat([x, x2], -1)`` joined in VMEM
+          (PromptFusion entry) — Pallas-eligible configs only.
         """
         from mp_hsir_tpu.parallel.tp import tp_slice
 
         b, h, w, c = x.shape
+        if x2 is not None:
+            c = c + x2.shape[-1]
         dh = c // self.num_heads
         p = h * w
         sp = self.spectral_axis
@@ -364,11 +369,11 @@ class SpectralAttention(nn.Module):
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                shortcut=shortcut, shifted=shifted, mlp=mlp_params,
+                shortcut=shortcut, shifted=shifted, mlp=mlp_params, x2=x2,
             )
         if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
                 and not use_tp and self.axis_name is not None and h % 8 == 0
-                and not shifted and b == 1):
+                and not shifted and b == 1 and x2 is None):
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_sharded
 
             return fused_spectral_attention_sharded(
@@ -377,7 +382,8 @@ class SpectralAttention(nn.Module):
                 shortcut=shortcut,
             )
         assert (ln_w is None and gate is None and shortcut is None
-                and not residual and not shifted and mlp_params is None), (
+                and not residual and not shifted and mlp_params is None
+                and x2 is None), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
 
         if use_tp:
@@ -695,10 +701,23 @@ class TransformerBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, x2: Optional[Array] = None,
+                 proj_w: Optional[Array] = None) -> Array:
+        """``x2``/``proj_w`` are PromptFusion's eval-only in-kernel fusions:
+        the entry ``cat([x, x2])`` is joined in VMEM inside the spectral
+        kernel and the exit 1x1 conv (weight ``proj_w``) rides the GDFN
+        writeback — neither the concatenated map nor the pre-conv output
+        takes its own HBM round trip. Callers must pass them only on
+        Pallas-eligible configurations (PromptFusion gates on
+        ``deterministic``)."""
         fused = (self.use_pallas and x.shape[1] % 8 == 0
                  and _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
                                                  self.spectral_axis))
+        if not fused:
+            assert proj_w is None, "proj_w requires the fused Pallas path"
+            if x2 is not None:
+                x = jnp.concatenate([x, x2], axis=-1)
+                x2 = None
         if fused:
             # norm1 + MDTA + residual in ONE kernel (2 reads + 1 write of the
             # map); the standalone LN and the separate residual add each cost
@@ -706,11 +725,11 @@ class TransformerBlock(nn.Module):
             lnw1, lnb1 = LayerNormParams(self.dim, name="norm1")()
             x = SpectralAttention(self.dim, self.num_heads, self.use_bias,
                                   use_pallas=True, name="attn")(
-                x, ln_w=lnw1, ln_b=lnb1, residual=True
+                x, ln_w=lnw1, ln_b=lnb1, residual=True, x2=x2
             )
             lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
             return GDFNFusedNHWC(self.dim, self.expansion, residual=True,
-                                 name="ffn")(x, lnw2, lnb2)
+                                 name="ffn")(x, lnw2, lnb2, proj_w=proj_w)
         x = x + SpectralAttention(self.dim, self.num_heads, self.use_bias, self.axis_name,
                                   self.spectral_axis, self.use_pallas, name="attn")(
             RestormerLayerNorm(self.dim, name="norm1")(x)
@@ -853,11 +872,26 @@ class PromptFusion(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array, prompt: Array) -> Array:
+    def __call__(self, x: Array, prompt: Array,
+                 deterministic: bool = True) -> Array:
+        block = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias,
+                                 self.axis_name, self.spectral_axis, self.use_pallas,
+                                 name="transformer")
+        fused = (self.use_pallas and deterministic and x.shape[1] % 8 == 0
+                 and _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
+                                                 self.spectral_axis))
+        if fused:
+            # eval: the entry concat is joined in VMEM inside the spectral
+            # kernel and the exit 1x1 conv rides the GDFN writeback — two
+            # full-map HBM round trips (concat write+read, conv read+write)
+            # never happen. Training keeps the explicit composition (the
+            # fused forms have no VJP).
+            w_conv, b_conv = ConvParams(self.out_dim, 1, use_bias=self.use_bias,
+                                        in_features=self.dim, name="conv")()
+            assert b_conv is None
+            return block(x, x2=prompt, proj_w=w_conv)
         out = jnp.concatenate([x, prompt], axis=-1)
-        out = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias,
-                               self.axis_name, self.spectral_axis, self.use_pallas,
-                               name="transformer")(out)
+        out = block(out)
         return Conv2d(self.out_dim, 1, use_bias=self.use_bias, name="conv")(out)
 
 

@@ -80,7 +80,7 @@ class MPHSIRNet(nn.Module):
         )
         enc2f = L.PromptFusion(dim * 4, dim * 2, num_heads=8, use_bias=cfg.bias, axis_name=ax,
                                spectral_axis=cfg.spectral_axis,
-                               use_pallas=cfg.use_pallas_attention, name="fusion2")(enc2, p2)
+                               use_pallas=cfg.use_pallas_attention, name="fusion2")(enc2, p2, deterministic)
         # concat + 1x1 reduce as SPLIT-WEIGHT matmuls: cat([a, b]) @ W ==
         # a @ W_top + b @ W_bot — the (B, H/2, W/2, 4*dim) concatenation
         # never materializes in HBM (params identical to the Conv2d form)
@@ -100,7 +100,7 @@ class MPHSIRNet(nn.Module):
         )
         enc1f = L.PromptFusion(dim * 2, dim, num_heads=4, use_bias=cfg.bias, axis_name=ax,
                                spectral_axis=cfg.spectral_axis,
-                               use_pallas=cfg.use_pallas_attention, name="fusion1")(enc1, p1)
+                               use_pallas=cfg.use_pallas_attention, name="fusion1")(enc1, p1, deterministic)
         d1 = jnp.concatenate([d1, enc1f], axis=-1)
         dec1 = base_block("decoder_level1", dim * 2, nb[0], cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp1, 0)(d1, deterministic)
         # the reference reuses the level-2 drop-path slice for refinement

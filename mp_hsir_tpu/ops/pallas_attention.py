@@ -611,12 +611,18 @@ def _conv3_raw_call(x, w, interpret=False):
 
 
 def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
-                 wout_ref, out_ref, xn_ref, *, hidden, eps, n_slab, cw,
-                 residual):
+                 wout_ref, *refs, hidden, eps, n_slab, cw,
+                 residual, has_proj=False):
     """Grid (B, H/8): LN -> 1x1 project_in (2*hidden) -> 3x3 depthwise
     (halo rows from the clamped side blocks) -> erf-gelu gate -> 1x1
     project_out, all in VMEM. The 2*hidden-wide intermediate (5.3x the map)
-    never touches HBM."""
+    never touches HBM. With ``has_proj`` a trailing (C, Co) 1x1 projection
+    rides the writeback (PromptFusion's exit conv, net/MP_HSIR.py:598) —
+    the full-width map never takes the conv's extra read + write."""
+    if has_proj:
+        wproj_ref, out_ref, xn_ref = refs
+    else:
+        out_ref, xn_ref = refs
     i = pl.program_id(1)
     _, ws8, w, c = x_mid.shape
     dt = x_mid.dtype
@@ -652,10 +658,15 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
         gated = ((0.5 * a * (1.0 + _erf(a / np.sqrt(2.0)))) * g).astype(dt)
         y = jnp.dot(gated.reshape(ws8 * cw, hidden), wout_ref[:],
                     preferred_element_type=jnp.float32)
-        y = y.reshape(ws8, cw, c).astype(out_ref.dtype)
         if residual:
-            y = x_mid[0, :, pl.ds(j * cw, cw), :].astype(out_ref.dtype) + y
-        out_ref[0, :, pl.ds(j * cw, cw), :] = y
+            xs_mid = x_mid[0, :, pl.ds(j * cw, cw), :].reshape(ws8 * cw, c)
+            y = xs_mid.astype(jnp.float32) + y
+        if has_proj:
+            y = jnp.dot(y.astype(dt), wproj_ref[:],
+                        preferred_element_type=jnp.float32)
+        co = out_ref.shape[3]
+        out_ref[0, :, pl.ds(j * cw, cw), :] = (
+            y.reshape(ws8, cw, co).astype(out_ref.dtype))
         return 0
 
     jax.lax.fori_loop(0, n_chunk, chunk, 0)
@@ -669,13 +680,15 @@ def fused_ln_gdfn_nhwc(
     w_out: Array,             # (1, 1, hidden, C) project_out
     eps: float = 1e-5,
     residual: bool = False,
+    proj_w: Optional[Array] = None,  # (1, 1, C, Co): trailing 1x1 conv fold
     interpret: bool = False,
 ) -> Array:
     """RestormerLayerNorm + GDFN fused over NHWC slabs (bias-free variant —
     both presets use bias=False). With ``residual=True`` writes
-    ``x + gdfn(ln(x))`` (zero extra traffic — x is already in VMEM). NOTE:
-    GDFN gates as gelu(x1) * x2 where (x1, x2) = chunk2 (reference
-    net/MP_HSIR.py:389)."""
+    ``x + gdfn(ln(x))`` (zero extra traffic — x is already in VMEM). With
+    ``proj_w`` the PromptFusion exit conv rides the writeback (eval-only —
+    no VJP). NOTE: GDFN gates as gelu(x1) * x2 where (x1, x2) = chunk2
+    (reference net/MP_HSIR.py:389)."""
     b, h, w, c = x.shape
     hidden = w_out.shape[2]
     w_in2 = w_in.reshape(c, 2 * hidden)
@@ -693,6 +706,11 @@ def fused_ln_gdfn_nhwc(
         w_dw2 = jnp.concatenate([w_dw2[:, :hidden], z9, w_dw2[:, hidden:], z9], axis=1)
         w_out2 = jnp.concatenate([w_out2, jnp.zeros((pad, c), w_out2.dtype)], axis=0)
         hidden = hp
+    if proj_w is not None:
+        return _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2,
+                              hidden=hidden, eps=eps, residual=residual,
+                              wproj=proj_w.reshape(c, proj_w.shape[-1]),
+                              interpret=interpret)
     from mp_hsir_tpu.ops.pallas_vjp import gdfn_fused
 
     return gdfn_fused(x, ln_w, ln_b, w_in2, w_dw2, w_out2, hidden=hidden,
@@ -700,10 +718,11 @@ def fused_ln_gdfn_nhwc(
 
 
 def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
-                   residual, interpret):
+                   residual, wproj=None, interpret=False):
     """Raw forward pallas_call on PRE-RESHAPED/PADDED 2-D weights (f32,
     cast to the compute dtype here — inside the custom_vjp primal)."""
     b, h, w, c = x.shape
+    co = wproj.shape[-1] if wproj is not None else c
     # column chunk: bigger chunks halve the fori trip count and grow the MXU
     # dots; the (10, cw+2, 2*hidden) f32 live set rides the raised 64MB
     # scoped-vmem limit (PALLAS_GDFN_CAP overrides for experiments)
@@ -714,26 +733,31 @@ def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
     grid = (b, h // 8)
     dt = x.dtype
     kern = functools.partial(_gdfn_kernel, hidden=hidden, eps=eps, n_slab=h // 8, cw=cw,
-                             residual=residual)
+                             residual=residual, has_proj=wproj is not None)
+    in_specs = [
+        pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, x, x, ln_w, ln_b, w_in2.astype(dt), w_dw2.astype(dt), w_out2.astype(dt)]
+    if wproj is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(wproj.astype(dt))
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 8, w, co), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
         scratch_shapes=[pltpu.VMEM((10, w + 2, c), dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, x, ln_w, ln_b, w_in2.astype(dt), w_dw2.astype(dt), w_out2.astype(dt))
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -741,9 +765,9 @@ def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
 # ---------------------------------------------------------------------------
 
 
-def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
-                     *rest, num_heads, n_slab, ln, eps, residual, has_gate,
-                     has_shortcut, shifted=False, mlp_hidden=0, mlp_cw=0):
+def _spectral_kernel(x_top, x_mid, x_bot, *refs, num_heads, n_slab, ln, eps,
+                     residual, has_gate, has_shortcut, shifted=False,
+                     mlp_hidden=0, mlp_cw=0, two_in=False):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
     qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
@@ -771,11 +795,23 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
       indexed through the same shift, so neither the un-rolled map nor a
       per-pixel gate map ever materializes in HBM.
 
+    * ``two_in``: the logical input is the LANE-CONCATENATION of two maps
+      (PromptFusion's ``cat([x, prompt])`` entry, net/MP_HSIR.py:597) —
+      the concatenated map never materializes in HBM (saves its full
+      write + read); the halves are streamed as separate block refs and
+      joined in VMEM before the (concat-spanning) LayerNorm.
+
     HBM traffic: 2 reads of x + 1 write of out (+1 shortcut read)."""
     b = pl.program_id(0)
     phase = pl.program_id(1)
     i = pl.program_id(2)
-    _, ws8, w, c = x_mid.shape
+    if two_in:
+        x2_top, x2_mid, x2_bot = refs[:3]
+        refs = refs[3:]
+    wqkv_ref, wdw_ref, temp_ref, wout_ref = refs[:4]
+    rest = refs[4:]
+    _, ws8, w, c1 = x_mid.shape
+    c = c1 + x2_mid.shape[3] if two_in else c1
     dh = c // num_heads
     dt = x_mid.dtype
 
@@ -804,18 +840,23 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
             top = jnp.where(i > 0, x10[:1], jnp.zeros_like(x10[:1]))
             bot = jnp.where(i < n_slab - 1, x10[9:], jnp.zeros_like(x10[9:]))
             return jnp.concatenate([top, x10[1:9], bot], axis=0)
+        if two_in:
+            # lane-concat the two halves in VMEM (the joined map never
+            # exists in HBM); the LayerNorm below spans the concatenation
+            x10 = jnp.concatenate([
+                jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0),
+                jnp.concatenate([x2_top[0], x2_mid[0], x2_bot[0]], axis=0),
+            ], axis=2)  # (10, W, C)
+        else:
+            x10 = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)
         if ln:
             # LN first, THEN zero-mask the out-of-image halo rows (the
             # unfused chain pads zeros in ln-space, and LN(0) != 0)
-            x10 = jnp.concatenate([x_top[0], x_mid[0], x_bot[0]], axis=0)
-            xn = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps,
-                          dt).reshape(10, w, c)
-            top = jnp.where(i > 0, xn[:1], jnp.zeros_like(xn[:1]))
-            bot = jnp.where(i < n_slab - 1, xn[9:], jnp.zeros_like(xn[9:]))
-            return jnp.concatenate([top, xn[1:9], bot], axis=0)
-        top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
-        bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
-        return jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+            x10 = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps,
+                           dt).reshape(10, w, c)
+        top = jnp.where(i > 0, x10[:1], jnp.zeros_like(x10[:1]))
+        bot = jnp.where(i < n_slab - 1, x10[9:], jnp.zeros_like(x10[9:]))
+        return jnp.concatenate([top, x10[1:9], bot], axis=0)  # (10, W, C)
 
     def qkv_slab(x10, lane_lo, lane_hi):
         """dwconv3x3(conv1x1(x10))[:, lane_lo:lane_hi] for the slab."""
@@ -873,7 +914,12 @@ def _spectral_kernel(x_top, x_mid, x_bot, wqkv_ref, wdw_ref, temp_ref, wout_ref,
         v = qkv_slab(x10, 2 * c, 3 * c)  # (8W, C), lanes packed (head, dh)
         y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
         y = y.reshape(ws8, w, c).astype(dt)
-        u_mid = x10[1:9] if shifted else x_mid[0]
+        if shifted:
+            u_mid = x10[1:9]
+        elif two_in:
+            u_mid = jnp.concatenate([x_mid[0], x2_mid[0]], axis=2)
+        else:
+            u_mid = x_mid[0]
         if has_gate and not shifted:
             g = gate_ref[0, 0]  # (W/8, C), one gate row per window column
             emat = _window_expand_mat(w)
@@ -933,6 +979,7 @@ def fused_spectral_attention_nhwc(
     shifted: bool = False,          # x is rolled; roll back in-kernel
     mlp=None,  # (ln2_w, ln2_b, w1, b1, w2, b2): fuse the PGSSTB tail MLP in
     eps: float = 1e-5,
+    x2: Optional[Array] = None,  # (B, H, W, C2): logical input is cat([x, x2])
     interpret: bool = False,
 ) -> Array:
     """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel, with
@@ -940,13 +987,15 @@ def fused_spectral_attention_nhwc(
     presets use bias=False); unsharded only — callers with mesh axes fall
     back to the jnp path. With ``shifted`` the input is the ROLLED-frame map
     of a shifted PGSSTB (gate windows indexed through the roll); the output
-    is written in the unrolled frame.
+    is written in the unrolled frame. With ``x2`` the logical input is the
+    lane-concatenation ``cat([x, x2], -1)`` built in VMEM (PromptFusion
+    entry) — eval-only, like the other epilogues.
 
     The plain/ln/residual configurations are differentiable (custom_vjp core
     with a matching two-phase Pallas backward, ops/pallas_vjp.py); the
     gate/shortcut/shifted epilogues are eval-only and stay on the raw path."""
     b, h, w, c = x.shape
-    if gate is None and shortcut is None and not shifted and mlp is None:
+    if gate is None and shortcut is None and not shifted and mlp is None and x2 is None:
         from mp_hsir_tpu.ops.pallas_vjp import spectral_fused
 
         return spectral_fused(
@@ -957,7 +1006,7 @@ def fused_spectral_attention_nhwc(
     return _spectral_raw_call(
         x, wqkv, wdw, temperature, wout, num_heads, ln_w=ln_w, ln_b=ln_b,
         residual=residual, gate=gate, shortcut=shortcut, shifted=shifted,
-        mlp=mlp, eps=eps, interpret=interpret)
+        mlp=mlp, eps=eps, x2=x2, interpret=interpret)
 
 
 def _spectral_raw_call(
@@ -975,9 +1024,11 @@ def _spectral_raw_call(
     shifted: bool = False,
     mlp=None,
     eps: float = 1e-5,
+    x2: Optional[Array] = None,
     interpret: bool = False,
 ) -> Array:
-    b, h, w, c = x.shape
+    b, h, w, c1 = x.shape
+    c = c1 + x2.shape[3] if x2 is not None else c1
     assert h % 8 == 0, h
     ln = ln_w is not None
     n_slab = h // 8
@@ -1012,27 +1063,35 @@ def _spectral_raw_call(
         return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
 
     assert not (shifted and (ln or residual))
+    assert x2 is None or (not shifted and gate is None and shortcut is None)
     kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab,
                              ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
                              has_shortcut=shortcut is not None,
                              shifted=shifted, mlp_hidden=mlp_hidden,
-                             mlp_cw=mlp_cw)
+                             mlp_cw=mlp_cw, two_in=x2 is not None)
     if shifted:
         # x_top carries the PREVIOUS (wrapped) full block — the roll-back
         # reads it in-kernel; x_bot is a pinned dummy row (one fetch total)
         in_specs = [
-            pl.BlockSpec((1, 8, w, c),
+            pl.BlockSpec((1, 8, w, c1),
                          lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c), lambda bi, p, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c1), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c1), lambda bi, p, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
         ]
     else:
         in_specs = [
-            pl.BlockSpec((1, 1, w, c), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c), bot_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c1), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c1), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c1), bot_map, memory_space=pltpu.VMEM),
+        ]
+    if x2 is not None:
+        c2 = x2.shape[3]
+        in_specs += [
+            pl.BlockSpec((1, 1, w, c2), top_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c2), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c2), bot_map, memory_space=pltpu.VMEM),
         ]
     in_specs += [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wqkv
@@ -1040,7 +1099,10 @@ def _spectral_raw_call(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
     ]
-    args = [x, x, x, wqkv2d, wdw2d, temp2d, wout2d]
+    args = [x, x, x]
+    if x2 is not None:
+        args += [x2, x2, x2]
+    args += [wqkv2d, wdw2d, temp2d, wout2d]
     if ln:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         args += [ln_w, ln_b]

@@ -384,3 +384,38 @@ def test_fused_gdfn_nonzero_ln_bias_edges():
         interpret=True,
     ))
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_prompt_fusion_fused_entry_exit():
+    """PromptFusion eval path with the in-kernel entry concat (two-input
+    spectral kernel) and the exit 1x1 conv riding the GDFN writeback ==
+    the explicit concat -> TransformerBlock -> conv chain, same params."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PromptFusion
+
+    dim = 16
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    p = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    plain = PromptFusion(2 * dim, dim, num_heads=2)
+    params = plain.init(jax.random.key(7), x, p)["params"]
+    want = np.asarray(plain.apply({"params": params}, x, p))
+
+    names = ["fused_spectral_attention_nhwc", "fused_ln_gdfn_nhwc"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        fused = PromptFusion(2 * dim, dim, num_heads=2, use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x, p, True))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
