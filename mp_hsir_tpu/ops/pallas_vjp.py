@@ -51,28 +51,21 @@ def _dgelu_f32(g):
 
 
 def _ln_fwd_rows(x2d, lnw, lnb, eps):
-    """f32 LayerNorm forward returning (y, xhat, rstd) for reuse in bwd.
-    Lane reductions ride the MXU as ones-vector dots (centered variance),
-    mirroring pallas_attention._ln_rows."""
+    """f32 LayerNorm forward returning (y, xhat, rstd) for reuse in bwd."""
     xf = x2d.astype(jnp.float32)
-    c = xf.shape[1]
-    ones = jnp.ones((c, 1), jnp.float32)
-    mu = jnp.dot(xf, ones, preferred_element_type=jnp.float32) * (1.0 / c)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
     xc = xf - mu
-    var = jnp.dot(xc * xc, ones, preferred_element_type=jnp.float32) * (1.0 / c)
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = xc * rstd
     return xhat * lnw[:].astype(jnp.float32) + lnb[:].astype(jnp.float32), xhat, rstd
 
 
 def _ln_bwd_rows(dxn, xhat, rstd, lnw):
-    """VJP of LayerNorm over the lane axis. dxn f32 (T, C) -> dx f32.
-    The two lane means ride the MXU as ones-vector dots."""
+    """VJP of LayerNorm over the lane axis. dxn f32 (T, C) -> dx f32."""
     dxh = dxn * lnw[:].astype(jnp.float32)
-    c = dxh.shape[1]
-    ones = jnp.ones((c, 1), jnp.float32)
-    m1 = jnp.dot(dxh, ones, preferred_element_type=jnp.float32) * (1.0 / c)
-    m2 = jnp.dot(dxh * xhat, ones, preferred_element_type=jnp.float32) * (1.0 / c)
+    m1 = jnp.mean(dxh, axis=1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=1, keepdims=True)
     return (dxh - m1 - xhat * m2) * rstd
 
 
@@ -496,29 +489,18 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) + bias_ref[h * t : (h + 1) * t, :]
             if has_mask:
-                attn = jnp.where(off, -1e9, attn)
-            # softmax without cross-lane VPU reductions (mirrors the forward
-            # kernel): clipped exp skips the 7-pass lane max, the row
-            # denominator comes from an MXU ones-column dot, and the dS
-            # rowsum uses the flash-attention identity
-            # sum_j(dA ⊙ A)_ij = o_i · do_i (a dh-wide reduce, not t-wide)
-            p_exp = jnp.exp(jnp.clip(attn, -80.0, 80.0))
-            p_dt = p_exp.astype(dt)
-            denom = jnp.dot(p_dt, jnp.ones((t, 1), dt),
-                            preferred_element_type=jnp.float32)
-            attn = p_exp / denom
+                attn = jnp.where(off, -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1)
             attn_dt = attn.astype(dt)
-            o_f32 = jnp.dot(attn_dt, v, preferred_element_type=jnp.float32)
-            o_heads.append(o_f32.astype(dt))
+            o_heads.append(
+                jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))
             do_h = do_seg[:, h * dh : (h + 1) * dh]
             dv_heads.append(jax.lax.dot_general(
                 attn_dt, do_h, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
             dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            delta = jnp.sum(do_h.astype(jnp.float32) * o_f32, axis=1,
-                            keepdims=True)
-            ds = attn * (dattn - delta)
+            ds = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
             dbias_ref[h * t : (h + 1) * t, :] += ds
             ds_dt = ds.astype(dt)
             dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
