@@ -580,7 +580,8 @@ class SpatialAttentionNHWC(nn.Module):
 
     @nn.compact
     def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
-                 region_map: Optional[Array], shift_in: bool = False):
+                 region_map: Optional[Array], shift_in: bool = False,
+                 sp_qk=None):
         from mp_hsir_tpu.ops.pallas_attention import fused_ln_window_attention_nhwc
 
         c = x_map.shape[-1]
@@ -595,11 +596,33 @@ class SpatialAttentionNHWC(nn.Module):
         bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
         wp, bp = LinearParams(c, c, name="proj")()
         # raw f32 params: the kernel cores cast to the compute dtype inside
-        # the custom_vjp primal so weight gradients stay f32
+        # the custom_vjp primal so weight gradients stay f32.
+        # ``sp_qk``: merge the following spectral attention's phase 0 into
+        # this kernel (returns (map, pooled, gram, nq, nk)).
         return fused_ln_window_attention_nhwc(
             x_map, ln_w, ln_b, wqkv, bqkv, bias.astype(jnp.float32), wp, bp,
-            region_map, self.num_heads, shift_in=shift_in,
+            region_map, self.num_heads, shift_in=shift_in, sp_qk=sp_qk,
         )
+
+
+class SpectralAttentionParams(nn.Module):
+    """Declares SpectralAttention's parameters (identical names/shapes/init
+    — qkv, qkv_dwconv, temperature, project_out) without applying the
+    module, for the merged window+phase-0 kernel path that consumes the
+    weights directly in two kernels. Bias-free configurations only."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.dim
+        wqkv, _ = ConvParams(c * 3, 1, use_bias=False, in_features=c, name="qkv")()
+        wdw, _ = ConvParams(c * 3, 3, groups=c * 3, use_bias=False,
+                            in_features=c * 3, name="qkv_dwconv")()
+        temp = self.param("temperature", nn.initializers.ones, (self.num_heads, 1, 1))
+        wout, _ = ConvParams(c, 1, use_bias=False, in_features=c, name="project_out")()
+        return wqkv, wdw, temp, wout
 
 
 def _relative_position_index(ws: int) -> np.ndarray:
@@ -983,18 +1006,36 @@ class PGSSTB(nn.Module):
             kernel_rolls = shift > 0 and epilogue_ok
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)
-            sa_map, pooled = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
-                xr, ln_w, ln_b, region, shift_in=kernel_rolls
-            )  # pooled: (B, H/ws, W/ws, C) per-window descriptors, in-kernel
+            # merged window + spectral-phase-0 kernel: the global Gram/norm
+            # statistics of the spectral attention are accumulated INSIDE
+            # the window kernel (one slab behind — ops/pallas_attention.py
+            # _nhwc_sp0_kernel), so the spectral kernel's separate phase-0
+            # read of sa_map never happens
+            merged = (epilogue_ok and not sharded_epilogue and h // 8 >= 2)
+            sp_w = None
+            if merged:
+                sp_wqkv, sp_wdw, sp_temp, sp_wout = SpectralAttentionParams(
+                    self.dim, self.num_heads, name="gobal_spectral_attn")()
+                sp_w = (sp_wqkv.reshape(c, 3 * c), sp_wdw.reshape(9, 3 * c),
+                        self.num_heads)
+                sa_map, pooled, sp_gram, sp_nq, sp_nk = SpatialAttentionNHWC(
+                    self.dim, ws, self.num_heads, name="attn")(
+                    xr, ln_w, ln_b, region, shift_in=kernel_rolls, sp_qk=sp_w)
+            else:
+                sa_map, pooled = SpatialAttentionNHWC(self.dim, ws, self.num_heads, name="attn")(
+                    xr, ln_w, ln_b, region, shift_in=kernel_rolls
+                )  # pooled: (B, H/ws, W/ws, C) per-window descriptors, in-kernel
             gate = PGSpectralAttention(
                 self.dim, self.compress_ratio, self.prompt_len, self.use_bias,
                 name="local_spectral_attn",
             )(pooled=pooled.reshape(b, -1, c)).reshape(b, h // ws, w // ws, c)
-            spectral = SpectralAttention(
-                self.dim, self.num_heads, self.use_bias, self.axis_name,
-                self.spectral_axis, True, name="gobal_spectral_attn",
-                allow_sharded_kernel=dp_identity,
-            )
+            spectral = None
+            if not merged:
+                spectral = SpectralAttention(
+                    self.dim, self.num_heads, self.use_bias, self.axis_name,
+                    self.spectral_axis, True, name="gobal_spectral_attn",
+                    allow_sharded_kernel=dp_identity,
+                )
             hidden = int(self.dim * self.mlp_ratio)
             lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
             # the in-kernel epilogue needs the single-device bias-free
@@ -1010,6 +1051,18 @@ class PGSSTB(nn.Module):
                 # lives there); for shifted blocks the kernel performs the
                 # (+4,+4) roll-back internally and indexes the per-window
                 # gates through it.
+                if merged:
+                    from mp_hsir_tpu.ops.pallas_attention import (
+                        fused_spectral_attention_nhwc,
+                    )
+
+                    w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
+                    return fused_spectral_attention_nhwc(
+                        sa_map, sp_wqkv, sp_wdw, sp_temp, sp_wout,
+                        self.num_heads, gate=gate, shortcut=shortcut,
+                        shifted=shift > 0,
+                        mlp=(lnw2, lnb2, w1, b1, w2, b2),
+                        precomputed=(sp_gram, sp_nq, sp_nk))
                 if not sharded_epilogue:
                     w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
                     return spectral(sa_map, gate=gate, shortcut=shortcut,

@@ -261,6 +261,133 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         pooled_ref[0, r] = pooled.astype(pooled_ref.dtype)
 
 
+def _nhwc_sp0_kernel(*refs, num_heads, eps, seg_w, has_mask, shift_in,
+                     n_slab, sp_heads):
+    """Window MSA slab kernel MERGED with the spectral attention's phase 0:
+    grid (B, H/8 + 1). Step i computes the window-attention output slab i
+    (same body as _nhwc_kernel) and — one slab behind, so the depthwise
+    halo row from slab i is available — accumulates the global spectral
+    q/k Gram matrix and L2 norms of the attention output in VMEM scratch,
+    emitting them as small extra outputs at the flush step. The separate
+    spectral phase-0 pass over sa_map (a full HBM read of the map plus its
+    own grid sweep) never happens; the spectral kernel then runs phase 1
+    only (``precomputed``).
+
+    Lag schedule (unshifted): at step i the scratch holds slab i-1 (prev8)
+    and row 7 of slab i-2 (prevlast); the freshly written out_ref slab
+    provides the bottom halo row — so slab j = i-1 is processed at step i,
+    and the extra step i = n_slab flushes the last slab (bottom halo zero).
+
+    Shifted (the window output is in the ROLLED frame; the spectral
+    phase 0 runs in the UNROLLED frame u[r] = y[(r-4) mod H]): u-slab j
+    needs y rows 8j-5..8j+4 = prev8[3:8] ++ y_j[0:5], so j = i processes
+    IN-step for i >= 1; u-slab 0 wraps around to y rows H-5..H-1 (the last
+    slab) and is deferred to the flush step, reading rows 0..4 of slab 0
+    stashed at step 0."""
+    if shift_in:
+        x_ref, x_nxt = refs[:2]
+        refs = refs[2:]
+    else:
+        x_ref, = refs[:1]
+        x_nxt = None
+        refs = refs[1:]
+    lnw, lnb, wqkv, bqkv, bias = refs[:5]
+    refs = refs[5:]
+    if has_mask:
+        lab_ref = refs[0]
+        refs = refs[1:]
+    else:
+        lab_ref = None
+    (wp, bp, wqkv_sp, wdw_sp, out_ref, pooled_ref, gram_out, nq_out, nk_out,
+     qkv_scr, o_scr, prev8, prevlast, *tail) = refs
+    stash0 = tail[0] if shift_in else None
+    gram_s, nq_s, nk_s = tail[-3:]
+
+    i = pl.program_id(1)
+    _, ws8, w, c = x_ref.shape
+    dt = x_ref.dtype
+    dh = c // sp_heads
+
+    @pl.when(i < n_slab)
+    def _():
+        _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
+                     pooled_ref, qkv_scr, o_scr, num_heads=num_heads, eps=eps,
+                     seg_w=seg_w, has_mask=has_mask, lab_ref=lab_ref,
+                     x_nxt=x_nxt)
+
+    @pl.when(i == 0)
+    def _():
+        gram_s[:] = jnp.zeros_like(gram_s)
+        nq_s[:] = jnp.zeros_like(nq_s)
+        nk_s[:] = jnp.zeros_like(nk_s)
+
+    def accumulate(x10):
+        """q/k of dwconv3x3(conv1x1(x10)) -> Gram + norms (phase-0 math of
+        _spectral_kernel, q/k lanes only)."""
+        t = jnp.dot(x10.reshape(10 * w, c), wqkv_sp[:],
+                    preferred_element_type=jnp.float32)
+        t = t.astype(dt).reshape(10, w, 2 * c)
+        tp = jnp.pad(t, ((0, 0), (1, 1), (0, 0)))
+        acc = jnp.zeros((8, w, 2 * c), jnp.float32)
+        for dr in range(3):
+            for dc in range(3):
+                wtap = wdw_sp[dr * 3 + dc, :].astype(jnp.float32)
+                acc = acc + tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32) * wtap
+        qk = acc.astype(dt).reshape(8 * w, 2 * c)
+        q = qk[:, :c]
+        k = qk[:, c:]
+        for h in range(sp_heads):
+            qh = q[:, h * dh : (h + 1) * dh]
+            kh = k[:, h * dh : (h + 1) * dh]
+            g = jax.lax.dot_general(
+                qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            gram_s[h * dh : (h + 1) * dh, :] += g
+            nq_s[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+            nk_s[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+
+    if shift_in:
+        @pl.when(i == 0)
+        def _():
+            stash0[:] = out_ref[0, 0:5]
+
+        @pl.when(jnp.logical_and(i >= 1, i < n_slab))
+        def _():
+            # u-slab j = i: y rows 8i-5..8i+4 (rolled-frame rows), columns
+            # rotated by the (+4) roll-back; u-frame edge halos zeroed
+            stack = jnp.concatenate([prev8[3:8], out_ref[0, 0:5]], axis=0)
+            x10 = jnp.concatenate([stack[:, w - 4:], stack[:, :w - 4]], axis=1)
+            bot = jnp.where(i < n_slab - 1, x10[9:], jnp.zeros_like(x10[9:]))
+            accumulate(jnp.concatenate([x10[:9], bot], axis=0))
+
+        @pl.when(i == n_slab)
+        def _():
+            # deferred u-slab 0: y rows H-5..H-1 (prev8 now holds the last
+            # slab) ++ stashed rows 0..4; top halo zeroed
+            stack = jnp.concatenate([prev8[3:8], stash0[:]], axis=0)
+            x10 = jnp.concatenate([stack[:, w - 4:], stack[:, :w - 4]], axis=1)
+            top = jnp.zeros_like(x10[:1])
+            accumulate(jnp.concatenate([top, x10[1:]], axis=0))
+    else:
+        @pl.when(i >= 1)
+        def _():
+            # slab j = i - 1: halo rows from prevlast (zero at the top edge)
+            # and the just-computed slab i (zero past the bottom edge)
+            top = jnp.where(i - 1 > 0, prevlast[:], jnp.zeros_like(prevlast[:]))
+            bot = jnp.where(i < n_slab, out_ref[0, 0:1], jnp.zeros((1, w, c), dt))
+            accumulate(jnp.concatenate([top, prev8[:], bot], axis=0))
+
+    @pl.when(i < n_slab)
+    def _():
+        prevlast[:] = prev8[7:8]
+        prev8[:] = out_ref[0]
+
+    @pl.when(i == n_slab)
+    def _():
+        gram_out[0] = gram_s[:]
+        nq_out[0] = nq_s[:]
+        nk_out[0] = nk_s[:]
+
+
 def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
                         pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
@@ -296,6 +423,9 @@ def fused_ln_window_attention_nhwc(
     num_heads: int,
     eps: float = 1e-5,
     shift_in: bool = False,  # build the (-4,-4) roll in-kernel (see below)
+    sp_qk=None,  # (wqkv_sp (C,3C), wdw_sp (9,3C), sp_heads): merge the
+    #              following spectral attention's phase 0 in (see
+    #              _nhwc_sp0_kernel); returns (map, pooled, gram, nq, nk)
     interpret: bool = False,
 ):
     """LayerNorm + 8x8 window MSA fused over NHWC slabs (window size 8).
@@ -334,7 +464,7 @@ def fused_ln_window_attention_nhwc(
         [(wqkv[:, :c].astype(jnp.float32) * scale).astype(wqkv.dtype), wqkv[:, c:]], axis=1)
     bqkv = jnp.concatenate([bqkv[:c] * scale, bqkv[c:]])
 
-    if not shift_in:
+    if not shift_in and sp_qk is None:
         # differentiable path: custom_vjp core with a Pallas backward kernel
         # (scale folding + segment_bias above are plain jnp and autodiff
         # handles them; shift_in stays on the raw eval-only path below)
@@ -348,18 +478,21 @@ def fused_ln_window_attention_nhwc(
     return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
                          region_map, num_heads=num_heads, eps=eps,
                          seg_w=seg_w, shift_in=shift_in, rows=rows,
-                         interpret=interpret)
+                         sp_qk=sp_qk, interpret=interpret)
 
 
 def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
-                  num_heads, eps, seg_w, shift_in, interpret, rows=1):
+                  num_heads, eps, seg_w, shift_in, interpret, rows=1,
+                  sp_qk=None):
     """Raw (non-differentiable) forward pallas_call on PREPARED args (scale
     already folded into wqkv/bqkv, bias2d segment-ordered); weights arrive
     f32 and are cast to the compute dtype here. ``rows`` = window-rows per
     grid step (slab = 8*rows map rows); must divide h//8. shift_in requires
-    rows == 1 (the in-kernel roll reads the next 8-row block)."""
+    rows == 1 (the in-kernel roll reads the next 8-row block). ``sp_qk``
+    merges the following spectral attention's phase 0 (_nhwc_sp0_kernel;
+    requires rows == 1 and h >= 16)."""
     b, h, w, c = x.shape
-    if shift_in or (h // 8) % rows != 0:
+    if shift_in or sp_qk is not None or (h // 8) % rows != 0:
         rows = 1
     ws8 = 8 * rows
     grid = (b, h // ws8)
@@ -381,6 +514,11 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
     ]
+    if sp_qk is not None:
+        return _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                             region_map, sp_qk, num_heads=num_heads, eps=eps,
+                             seg_w=seg_w, shift_in=shift_in,
+                             interpret=interpret)
     if shift_in:
         assert region_map is not None
         n_slab = h // 8
@@ -422,6 +560,92 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         # the in-kernel pooled-mean epilogue pushes the 512-wide d128 slab
         # just past the default 16MB scoped-vmem cap; v5e has 128MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map,
+                  sp_qk, *, num_heads, eps, seg_w, shift_in, interpret):
+    """pallas_call for the merged window + spectral-phase-0 kernel
+    (_nhwc_sp0_kernel): grid (B, H/8 + 1); out/pooled/x block maps clamp to
+    the last slab at the flush step (same index -> no refetch, no rewrite).
+    Returns (map, pooled, gram (B, C, dh), nq, nk (B, heads, dh))."""
+    b, h, w, c = x.shape
+    n_slab = h // 8
+    assert n_slab >= 2
+    dt = x.dtype
+    wqkv_sp_full, wdw_sp_full, sp_heads = sp_qk
+    dh = c // sp_heads
+    wqkv_sp = wqkv_sp_full[:, : 2 * c].astype(dt)
+    wdw_sp = wdw_sp_full[:, : 2 * c].astype(dt)
+    ln_w, ln_b = ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)
+    wqkv, bqkv = wqkv.astype(dt), bqkv.astype(jnp.float32)
+    bias2d = bias2d.astype(jnp.float32)
+    wp, bp = wp.astype(dt), bp.astype(jnp.float32)
+
+    def clamp_map(bi, i):
+        return (bi, jnp.minimum(i, n_slab - 1), 0, 0)
+
+    xspec = pl.BlockSpec((1, 8, w, c), clamp_map, memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [xspec]
+    args = [x]
+    if shift_in:
+        in_specs.append(pl.BlockSpec(
+            (1, 8, w, c),
+            lambda bi, i: (bi, jax.lax.rem(i + 1, n_slab), 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(x)
+    in_specs += [full] * 5
+    args += [ln_w, ln_b, wqkv, bqkv, bias2d]
+    has_mask = region_map is not None
+    if has_mask:
+        in_specs.append(pl.BlockSpec((1, 8, w, 1),
+                                     lambda bi, i: (0, jnp.minimum(i, n_slab - 1), 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(region_map.reshape(1, h, w, 1).astype(jnp.int32))
+    in_specs += [full] * 4
+    args += [wp, bp, wqkv_sp, wdw_sp]
+
+    small = lambda r: pl.BlockSpec((1, r, dh), lambda bi, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, 8, w, c), clamp_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, w // 8, c), clamp_map, memory_space=pltpu.VMEM),
+        small(c), small(sp_heads), small(sp_heads),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+        jax.ShapeDtypeStruct((b, h // 8, w // 8, c), dt),
+        jax.ShapeDtypeStruct((b, c, dh), jnp.float32),
+        jax.ShapeDtypeStruct((b, sp_heads, dh), jnp.float32),
+        jax.ShapeDtypeStruct((b, sp_heads, dh), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((8, w, 3 * c), dt),   # slab qkv
+        pltpu.VMEM((8, w, c), dt),       # pre-projection attention out
+        pltpu.VMEM((8, w, c), dt),       # prev8: previous output slab
+        pltpu.VMEM((1, w, c), dt),       # prevlast: row 7 of slab i-2
+    ]
+    if shift_in:
+        scratch.append(pltpu.VMEM((5, w, c), dt))  # stash0: slab-0 rows 0..4
+    scratch += [
+        pltpu.VMEM((c, dh), jnp.float32),        # gram accumulator
+        pltpu.VMEM((sp_heads, dh), jnp.float32),  # nq
+        pltpu.VMEM((sp_heads, dh), jnp.float32),  # nk
+    ]
+    kern = functools.partial(_nhwc_sp0_kernel, num_heads=num_heads, eps=eps,
+                             seg_w=seg_w, has_mask=has_mask,
+                             shift_in=shift_in, n_slab=n_slab,
+                             sp_heads=sp_heads)
+    return pl.pallas_call(
+        kern,
+        grid=(b, n_slab + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -767,7 +991,7 @@ def _gdfn_fwd_call(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
 
 def _spectral_kernel(x_top, x_mid, x_bot, *refs, num_heads, n_slab, ln, eps,
                      residual, has_gate, has_shortcut, shifted=False,
-                     mlp_hidden=0, mlp_cw=0, two_in=False):
+                     mlp_hidden=0, mlp_cw=0, two_in=False, pre=False):
     """Grid (B, 2, H/8). Phase 0 streams 8-row slabs once, computing
     qkv = dwconv3x3(conv1x1([ln](x))) on the fly (halo rows via the clamped
     x_top/x_bot single-row blocks, zero-masked at the image edges) and
@@ -801,15 +1025,28 @@ def _spectral_kernel(x_top, x_mid, x_bot, *refs, num_heads, n_slab, ln, eps,
       write + read); the halves are streamed as separate block refs and
       joined in VMEM before the (concat-spanning) LayerNorm.
 
+    * ``pre``: the Gram matrix and q/k norms were already accumulated by the
+      merged window kernel (_nhwc_sp0_kernel) and arrive as small inputs —
+      the grid drops the phase dimension to (B, H/8) and only the comb
+      fold + phase-1 writeback run (one read of x saved).
+
     HBM traffic: 2 reads of x + 1 write of out (+1 shortcut read)."""
     b = pl.program_id(0)
-    phase = pl.program_id(1)
-    i = pl.program_id(2)
+    if pre:
+        phase = jnp.int32(1)
+        i = pl.program_id(1)
+    else:
+        phase = pl.program_id(1)
+        i = pl.program_id(2)
     if two_in:
         x2_top, x2_mid, x2_bot = refs[:3]
         refs = refs[3:]
     wqkv_ref, wdw_ref, temp_ref, wout_ref = refs[:4]
-    rest = refs[4:]
+    if pre:
+        gram_in, nq_in, nk_in = refs[4:7]
+        rest = refs[7:]
+    else:
+        rest = refs[4:]
     _, ws8, w, c1 = x_mid.shape
     c = c1 + x2_mid.shape[3] if two_in else c1
     dh = c // num_heads
@@ -820,7 +1057,11 @@ def _spectral_kernel(x_top, x_mid, x_bot, *refs, num_heads, n_slab, ln, eps,
              + (1 if has_shortcut else 0) + (6 if has_mlp else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
-    gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
+    if pre:
+        comb_ref, = rest[n_opt + 1:]
+        gram_ref = nq_ref = nk_ref = None
+    else:
+        gram_ref, nq_ref, nk_ref, comb_ref = rest[n_opt + 1:]
     lnw_ref = opt.pop(0) if ln else None
     lnb_ref = opt.pop(0) if ln else None
     gate_prev_ref = opt.pop(0) if (has_gate and shifted) else None
@@ -871,33 +1112,41 @@ def _spectral_kernel(x_top, x_mid, x_bot, *refs, num_heads, n_slab, ln, eps,
                 acc = acc + tp[dr : dr + ws8, dc : dc + w, :].astype(jnp.float32) * wtap
         return acc.astype(dt).reshape(ws8 * w, lane_hi - lane_lo)
 
-    @pl.when(jnp.logical_and(phase == 0, i == 0))
-    def _():
-        gram_ref[:] = jnp.zeros_like(gram_ref)
-        nq_ref[:] = jnp.zeros_like(nq_ref)
-        nk_ref[:] = jnp.zeros_like(nk_ref)
+    if not pre:
+        @pl.when(jnp.logical_and(phase == 0, i == 0))
+        def _():
+            gram_ref[:] = jnp.zeros_like(gram_ref)
+            nq_ref[:] = jnp.zeros_like(nq_ref)
+            nk_ref[:] = jnp.zeros_like(nk_ref)
 
-    @pl.when(phase == 0)
-    def _():
-        qk = qkv_slab(build_x10(), 0, 2 * c)  # (8W, 2C)
-        q = qk[:, :c]
-        k = qk[:, c:]
-        for h in range(num_heads):
-            qh = q[:, h * dh : (h + 1) * dh]
-            kh = k[:, h * dh : (h + 1) * dh]
-            g = jax.lax.dot_general(
-                qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (dh, dh)
-            gram_ref[h * dh : (h + 1) * dh, :] += g
-            nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
-            nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+        @pl.when(phase == 0)
+        def _():
+            qk = qkv_slab(build_x10(), 0, 2 * c)  # (8W, 2C)
+            q = qk[:, :c]
+            k = qk[:, c:]
+            for h in range(num_heads):
+                qh = q[:, h * dh : (h + 1) * dh]
+                kh = k[:, h * dh : (h + 1) * dh]
+                g = jax.lax.dot_general(
+                    qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )  # (dh, dh)
+                gram_ref[h * dh : (h + 1) * dh, :] += g
+                nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+                nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
 
     @pl.when(jnp.logical_and(phase == 1, i == 0))
     def _():
         for h in range(num_heads):
-            g = gram_ref[h * dh : (h + 1) * dh, :]
-            nq = jnp.maximum(jnp.sqrt(nq_ref[h, :]), 1e-12)
-            nk = jnp.maximum(jnp.sqrt(nk_ref[h, :]), 1e-12)
+            if pre:
+                g = gram_in[0, h * dh : (h + 1) * dh, :]
+                nqv = nq_in[0, h, :]
+                nkv = nk_in[0, h, :]
+            else:
+                g = gram_ref[h * dh : (h + 1) * dh, :]
+                nqv = nq_ref[h, :]
+                nkv = nk_ref[h, :]
+            nq = jnp.maximum(jnp.sqrt(nqv), 1e-12)
+            nk = jnp.maximum(jnp.sqrt(nkv), 1e-12)
             attn = g / (nq[:, None] * nk[None, :]) * temp_ref[0, h]
             attn = jax.nn.softmax(attn, axis=-1)  # (d, e), softmax over e
             wr = wout_ref[h * dh : (h + 1) * dh, :]  # (d, C)
@@ -980,6 +1229,8 @@ def fused_spectral_attention_nhwc(
     mlp=None,  # (ln2_w, ln2_b, w1, b1, w2, b2): fuse the PGSSTB tail MLP in
     eps: float = 1e-5,
     x2: Optional[Array] = None,  # (B, H, W, C2): logical input is cat([x, x2])
+    precomputed=None,  # (gram (B,C,dh), nq, nk): phase 0 already ran inside
+    #                    the merged window kernel — run phase 1 only
     interpret: bool = False,
 ) -> Array:
     """Whole SpectralAttention (MDTA) as one two-phase Pallas kernel, with
@@ -995,7 +1246,8 @@ def fused_spectral_attention_nhwc(
     with a matching two-phase Pallas backward, ops/pallas_vjp.py); the
     gate/shortcut/shifted epilogues are eval-only and stay on the raw path."""
     b, h, w, c = x.shape
-    if gate is None and shortcut is None and not shifted and mlp is None and x2 is None:
+    if (gate is None and shortcut is None and not shifted and mlp is None
+            and x2 is None and precomputed is None):
         from mp_hsir_tpu.ops.pallas_vjp import spectral_fused
 
         return spectral_fused(
@@ -1006,7 +1258,7 @@ def fused_spectral_attention_nhwc(
     return _spectral_raw_call(
         x, wqkv, wdw, temperature, wout, num_heads, ln_w=ln_w, ln_b=ln_b,
         residual=residual, gate=gate, shortcut=shortcut, shifted=shifted,
-        mlp=mlp, eps=eps, x2=x2, interpret=interpret)
+        mlp=mlp, eps=eps, x2=x2, precomputed=precomputed, interpret=interpret)
 
 
 def _spectral_raw_call(
@@ -1025,14 +1277,16 @@ def _spectral_raw_call(
     mlp=None,
     eps: float = 1e-5,
     x2: Optional[Array] = None,
+    precomputed=None,
     interpret: bool = False,
 ) -> Array:
     b, h, w, c1 = x.shape
     c = c1 + x2.shape[3] if x2 is not None else c1
     assert h % 8 == 0, h
     ln = ln_w is not None
+    pre = precomputed is not None
     n_slab = h // 8
-    grid = (b, 2, n_slab)
+    grid = (b, n_slab) if pre else (b, 2, n_slab)
     mlp_hidden = mlp_cw = 0
     if mlp is not None:
         ln2w, ln2b, mw1, mb1, mw2, mb2 = mlp
@@ -1056,41 +1310,50 @@ def _spectral_raw_call(
     wout2d = wout.reshape(c, c).astype(dt)
     temp2d = temperature.reshape(1, num_heads).astype(jnp.float32)
 
+    def amap(f):
+        """Adapt a (bi, p, i) index map to the 2-D phase-1-only grid."""
+        if pre:
+            return lambda bi, i: f(bi, 1, i)
+        return f
+
     def top_map(bi, p, i):
         return (bi, jnp.maximum(8 * i - 1, 0), 0, 0)
 
     def bot_map(bi, p, i):
         return (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0)
 
+    top_map, bot_map = amap(top_map), amap(bot_map)
+
     assert not (shifted and (ln or residual))
+    assert not (pre and (ln or residual or x2 is not None))
     assert x2 is None or (not shifted and gate is None and shortcut is None)
     kern = functools.partial(_spectral_kernel, num_heads=num_heads, n_slab=n_slab,
                              ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
                              has_shortcut=shortcut is not None,
                              shifted=shifted, mlp_hidden=mlp_hidden,
-                             mlp_cw=mlp_cw, two_in=x2 is not None)
+                             mlp_cw=mlp_cw, two_in=x2 is not None, pre=pre)
     if shifted:
         # x_top carries the PREVIOUS (wrapped) full block — the roll-back
         # reads it in-kernel; x_bot is a pinned dummy row (one fetch total)
         in_specs = [
             pl.BlockSpec((1, 8, w, c1),
-                         lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0),
+                         amap(lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c1), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c1), lambda bi, p, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c1), amap(lambda bi, p, i: (bi, i, 0, 0)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, w, c1), amap(lambda bi, p, i: (bi, 0, 0, 0)), memory_space=pltpu.VMEM),
         ]
     else:
         in_specs = [
             pl.BlockSpec((1, 1, w, c1), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c1), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c1), amap(lambda bi, p, i: (bi, i, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w, c1), bot_map, memory_space=pltpu.VMEM),
         ]
     if x2 is not None:
         c2 = x2.shape[3]
         in_specs += [
             pl.BlockSpec((1, 1, w, c2), top_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w, c2), lambda bi, p, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w, c2), amap(lambda bi, p, i: (bi, i, 0, 0)), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, w, c2), bot_map, memory_space=pltpu.VMEM),
         ]
     in_specs += [
@@ -1099,10 +1362,21 @@ def _spectral_raw_call(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # temperature
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wout
     ]
+    if pre:
+        dh = c // num_heads
+        in_specs += [
+            pl.BlockSpec((1, c, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ]
     args = [x, x, x]
     if x2 is not None:
         args += [x2, x2, x2]
     args += [wqkv2d, wdw2d, temp2d, wout2d]
+    if pre:
+        args += [precomputed[0].astype(jnp.float32),
+                 precomputed[1].astype(jnp.float32),
+                 precomputed[2].astype(jnp.float32)]
     if ln:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         args += [ln_w, ln_b]
@@ -1111,15 +1385,15 @@ def _spectral_raw_call(
         if shifted:
             in_specs.append(pl.BlockSpec(
                 (1, 1, w // 8, c),
-                lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0),
+                amap(lambda bi, p, i: (bi, jax.lax.rem(i - 1 + n_slab, n_slab), 0, 0)),
                 memory_space=pltpu.VMEM))
             args.append(gate.astype(dt))  # gate_prev (previous window row)
-        in_specs.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, p, i: (bi, i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 1, w // 8, c), amap(lambda bi, p, i: (bi, i, 0, 0)),
                                      memory_space=pltpu.VMEM))
         args.append(gate.astype(dt))
     if shortcut is not None:
         # pinned to block 0 during phase 0 (one fetch), streamed in phase 1
-        in_specs.append(pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 8, w, c), amap(lambda bi, p, i: (bi, p * i, 0, 0)),
                                      memory_space=pltpu.VMEM))
         args.append(shortcut.astype(dt))
     if mlp is not None:
@@ -1132,14 +1406,14 @@ def _spectral_raw_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 8, w, c), lambda bi, p, i: (bi, p * i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, w, c), amap(lambda bi, p, i: (bi, p * i, 0, 0)), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-        scratch_shapes=[
+        scratch_shapes=([pltpu.VMEM((c, c), jnp.float32)] if pre else [
             pltpu.VMEM((c, c // num_heads), jnp.float32),   # gram (heads stacked)
             pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nq
             pltpu.VMEM((num_heads, c // num_heads), jnp.float32),  # nk
             pltpu.VMEM((c, c), jnp.float32),                # comb
-        ],
+        ]),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(*args)

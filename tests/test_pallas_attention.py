@@ -75,15 +75,18 @@ def test_module_pallas_flag_matches_plain():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+@pytest.mark.parametrize("batch", [1, 2])
 @pytest.mark.parametrize("shifted", [False, True])
-def test_nhwc_fused_matches_pgsstb_plain(shifted):
+def test_nhwc_fused_matches_pgsstb_plain(shifted, batch):
     """The fused NHWC slab path (LN + window MSA in-kernel, PG gate on
-    pooled maps) must reproduce the plain-jnp PGSSTB bit-for-bit-ish."""
+    pooled maps, merged spectral phase 0) must reproduce the plain-jnp
+    PGSSTB bit-for-bit-ish — incl. batch > 1 (the merged kernel's scratch
+    ring and Gram accumulators reset per batch element)."""
     import mp_hsir_tpu.ops.pallas_attention as PA
     from mp_hsir_tpu.models.layers import PGSSTB
 
     dim, heads = 16, 2
-    x = jnp.asarray(RNG.standard_normal((1, 16, 32, dim)).astype(np.float32))
+    x = jnp.asarray(RNG.standard_normal((batch, 16, 32, dim)).astype(np.float32))
     plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
                    shift_size=4 if shifted else 0, mlp_ratio=2.0,
                    compress_ratio=8, prompt_len=16, input_resolution=(64, 64))
