@@ -900,7 +900,16 @@ class PromptFusion(nn.Module):
         block = TransformerBlock(self.dim, self.num_heads, self.expansion, self.use_bias,
                                  self.axis_name, self.spectral_axis, self.use_pallas,
                                  name="transformer")
-        fused = (self.use_pallas and deterministic and x.shape[1] % 8 == 0
+        # Lane-alignment gate (MEASURED): the in-kernel entry concat and
+        # exit-conv fold win when the halves pack into whole 128-lane
+        # vregs (64+64, 128+128: flagship fusion1 7.8 -> 6.0 ms) but the
+        # remote-sensing preset's 96+96 (and its 192-lane GDFN-proj store)
+        # REGRESSED the RS bench 33.2 -> ~25 cubes/s — Mosaic's misaligned
+        # lane concat/stores cost more than the saved HBM passes.
+        ch = x.shape[-1]
+        lane_ok = (ch == 64 or ch % 128 == 0) and prompt.shape[-1] == ch
+        fused = (self.use_pallas and deterministic and lane_ok
+                 and x.shape[1] % 8 == 0
                  and _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
                                                  self.spectral_axis))
         if fused:

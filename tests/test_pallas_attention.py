@@ -392,11 +392,13 @@ def test_fused_gdfn_nonzero_ln_bias_edges():
 def test_prompt_fusion_fused_entry_exit():
     """PromptFusion eval path with the in-kernel entry concat (two-input
     spectral kernel) and the exit 1x1 conv riding the GDFN writeback ==
-    the explicit concat -> TransformerBlock -> conv chain, same params."""
+    the explicit concat -> TransformerBlock -> conv chain, same params.
+    dim 64 halves: the lane-alignment gate only fuses 64/128-multiple
+    channel halves (96+96 measured a regression on the RS preset)."""
     import mp_hsir_tpu.ops.pallas_attention as PA
     from mp_hsir_tpu.models.layers import PromptFusion
 
-    dim = 16
+    dim = 64
     x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
     p = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
     plain = PromptFusion(2 * dim, dim, num_heads=2)
@@ -405,20 +407,26 @@ def test_prompt_fusion_fused_entry_exit():
 
     names = ["fused_spectral_attention_nhwc", "fused_ln_gdfn_nhwc"]
     origs = {n: getattr(PA, n) for n in names}
+    seen = {"x2": 0, "proj": 0}
 
-    def make_interp(fn):
+    def make_interp(name, fn):
         def interp(*args, **kw):
             kw["interpret"] = True
+            if name == "fused_spectral_attention_nhwc" and kw.get("x2") is not None:
+                seen["x2"] += 1
+            if name == "fused_ln_gdfn_nhwc" and kw.get("proj_w") is not None:
+                seen["proj"] += 1
             return fn(*args, **kw)
 
         return interp
 
     for n in names:
-        setattr(PA, n, make_interp(origs[n]))
+        setattr(PA, n, make_interp(n, origs[n]))
     try:
         fused = PromptFusion(2 * dim, dim, num_heads=2, use_pallas=True)
         got = np.asarray(fused.apply({"params": params}, x, p, True))
     finally:
         for n in names:
             setattr(PA, n, origs[n])
+    assert seen["x2"] == 1 and seen["proj"] == 1, seen  # fusion actually ran
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
