@@ -777,6 +777,15 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if (self.use_pallas and self.axis_name is None and x.shape[1] % 8 == 0
+                and x.shape[2] % 2 == 0):
+            # conv + unshuffle in ONE kernel: the unshuffle's standalone XLA
+            # relayout pass over the map never happens (differentiable)
+            from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_down_nhwc
+
+            w, _ = ConvParams(self.n_feat // 2, 3, use_bias=False,
+                              in_features=self.n_feat, name="conv")()
+            return fused_conv3x3_down_nhwc(x, w)
         x = Conv2d(self.n_feat // 2, 3, padding=1, use_bias=False, axis_name=self.axis_name,
                    use_pallas=self.use_pallas, name="conv")(x)
         return pixel_unshuffle(x, 2)
@@ -792,6 +801,13 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if (self.use_pallas and self.axis_name is None and x.shape[1] % 8 == 0
+                and (self.n_feat * 2) % 4 == 0):
+            from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_up_nhwc
+
+            w, _ = ConvParams(self.n_feat * 2, 3, use_bias=False,
+                              in_features=self.n_feat, name="conv")()
+            return fused_conv3x3_up_nhwc(x, w)
         x = Conv2d(self.n_feat * 2, 3, padding=1, use_bias=False, axis_name=self.axis_name,
                    use_pallas=self.use_pallas, name="conv")(x)
         return pixel_shuffle(x, 2)

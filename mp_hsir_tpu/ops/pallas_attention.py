@@ -809,11 +809,48 @@ def fused_conv3x3_nhwc(
     return conv3x3_fused(x, w, interpret=interpret)
 
 
-def _conv3_raw_call(x, w, interpret=False):
+def fused_conv3x3_down_nhwc(x: Array, w: Array, interpret: bool = False) -> Array:
+    """conv3x3 + PixelUnshuffle(2) fused (Downsample, reference
+    net/MP_HSIR.py:432-440): (B, H, W, Cin) -> (B, H/2, W/2, 4*Cout). The
+    unshuffle relayout rides the kernel writeback as 0/1 MXU dots.
+    Differentiable (cotangent is pixel_shuffle'd, then the plain conv3x3
+    backward applies)."""
+    from mp_hsir_tpu.ops.pallas_vjp import conv3x3_fused
+
+    return conv3x3_fused(x, w, interpret=interpret, mode="down")
+
+
+def fused_conv3x3_up_nhwc(x: Array, w: Array, interpret: bool = False) -> Array:
+    """conv3x3 + PixelShuffle(2) fused (Upsample, reference
+    net/MP_HSIR.py:442-450): (B, H, W, Cin) -> (B, 2H, 2W, Cout/4)."""
+    from mp_hsir_tpu.ops.pallas_vjp import conv3x3_fused
+
+    return conv3x3_fused(x, w, interpret=interpret, mode="up")
+
+
+def _conv3_raw_call(x, w, interpret=False, mode="plain"):
+    """``mode``: "plain" -> (B, H, W, Cout); "down" -> PixelUnshuffle(2)
+    rides the writeback, (B, H/2, W/2, 4*Cout); "up" -> PixelShuffle(2),
+    (B, 2H, 2W, Cout/4). The shuffles happen in VMEM as 0/1-matrix MXU
+    dots (column pair (de)interleave + lane permutation), so the separate
+    XLA relayout pass over the map never touches HBM."""
     b, h, wd, c = x.shape
     cout = w.shape[-1]
     assert h % 8 == 0, h
-    kern = functools.partial(_conv3_kernel, n_slab=h // 8, cout=cout)
+    if mode == "plain":
+        kern = functools.partial(_conv3_kernel, n_slab=h // 8, cout=cout)
+        out_spec = pl.BlockSpec((1, 8, wd, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype)
+    elif mode == "down":
+        assert wd % 2 == 0
+        kern = functools.partial(_conv3_down_kernel, n_slab=h // 8, cout=cout)
+        out_spec = pl.BlockSpec((1, 4, wd // 2, 4 * cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h // 2, wd // 2, 4 * cout), x.dtype)
+    else:
+        assert cout % 4 == 0
+        kern = functools.partial(_conv3_up_kernel, n_slab=h // 8, cout=cout)
+        out_spec = pl.BlockSpec((1, 16, 2 * wd, cout // 4), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, cout // 4), x.dtype)
     return pl.pallas_call(
         kern,
         grid=(b, h // 8),
@@ -823,10 +860,84 @@ def _conv3_raw_call(x, w, interpret=False):
             pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, wd, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(x, x, x, w.reshape(9, c, cout).astype(x.dtype))
+
+
+def _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab, cout):
+    """Shared conv3x3 slab body: returns y (8, W, Cout) in f32."""
+    _, ws8, w, c = x_mid.shape
+    top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
+    bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
+    x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
+    xp = jnp.pad(x10, ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((ws8 * w, cout), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            xs = xp[dr : dr + ws8, dc : dc + w, :].reshape(ws8 * w, c)
+            acc = acc + jnp.dot(xs, w_ref[dr * 3 + dc],
+                                preferred_element_type=jnp.float32)
+    return acc.reshape(ws8, w, cout)
+
+
+def _col_take_mat(w: int, j: int, dt):
+    """(W/2, W) 0/1 matrix T with T[c', 2c'+j] = 1 (column pair take)."""
+    er = jax.lax.broadcasted_iota(jnp.int32, (w // 2, w), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (w // 2, w), 1)
+    return (ec == 2 * er + j).astype(dt)
+
+
+def _conv3_down_kernel(x_top, x_mid, x_bot, w_ref, out_ref, *, n_slab, cout):
+    """conv3x3 + PixelUnshuffle(2) in one writeback: out[r', c',
+    k*4 + i*2 + j] = y[2r'+i, 2c'+j, k] (torch unshuffle order). Column
+    pair-take and the k-major lane interleave are tiny 0/1 MXU dots."""
+    i = pl.program_id(1)
+    _, ws8, w, c = x_mid.shape
+    dt = x_mid.dtype
+    y = _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab, cout).astype(dt)
+    take = [_col_take_mat(w, j, dt) for j in (0, 1)]
+    # lane permute: piece-major (p = i*2 + j, k) -> channel-major k*4 + p
+    pr = jax.lax.broadcasted_iota(jnp.int32, (4 * cout, 4 * cout), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (4 * cout, 4 * cout), 1)
+    perm = (pc == (pr % cout) * 4 + pr // cout).astype(dt)
+    for r in range(4):
+        pieces = []
+        for di in (0, 1):
+            row = y[2 * r + di]  # (W, Cout)
+            for dj in (0, 1):
+                pieces.append(jnp.dot(take[dj], row,
+                                      preferred_element_type=jnp.float32).astype(dt))
+        z = jnp.concatenate(pieces, axis=-1)  # (W/2, 4*Cout), piece-major
+        out_ref[0, r] = jnp.dot(z, perm,
+                                preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _conv3_up_kernel(x_top, x_mid, x_bot, w_ref, out_ref, *, n_slab, cout):
+    """conv3x3 + PixelShuffle(2) in one writeback: out[2r+i, 2c+j, k] =
+    y[r, c, k*4 + i*2 + j] (torch shuffle order)."""
+    i = pl.program_id(1)
+    _, ws8, w, c = x_mid.shape
+    dt = x_mid.dtype
+    co = cout // 4
+    y = _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab, cout).astype(dt)
+    # lane de-interleave: channel-major k*4 + p -> piece-major p*co + k
+    pr = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (cout, cout), 1)
+    perm = (pc == (pr % 4) * co + pr // 4).astype(dt)
+    # column pair interleave: (2W, W) scatter matrices S_j[2c+j, c] = 1
+    sr = jax.lax.broadcasted_iota(jnp.int32, (2 * w, w), 0)
+    sc = jax.lax.broadcasted_iota(jnp.int32, (2 * w, w), 1)
+    scat = [(sr == 2 * sc + j).astype(dt) for j in (0, 1)]
+    for r in range(8):
+        z = jnp.dot(y[r], perm, preferred_element_type=jnp.float32).astype(dt)
+        for di in (0, 1):
+            row = (jnp.dot(scat[0], z[:, (2 * di) * co : (2 * di + 1) * co],
+                           preferred_element_type=jnp.float32)
+                   + jnp.dot(scat[1], z[:, (2 * di + 1) * co : (2 * di + 2) * co],
+                             preferred_element_type=jnp.float32))
+            out_ref[0, 2 * r + di] = row.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -989,18 +989,27 @@ def spectral_fused(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b, *, num_heads,
 
 
 @functools.lru_cache(maxsize=None)
-def _conv3_core(interpret: bool):
+def _conv3_core(interpret: bool, mode: str = "plain"):
     from mp_hsir_tpu.ops.pallas_attention import _conv3_raw_call
 
     @jax.custom_vjp
     def core(x, w):
-        return _conv3_raw_call(x, w, interpret)
+        return _conv3_raw_call(x, w, interpret, mode=mode)
 
     def fwd(x, w):
         return core(x, w), (x, w)
 
     def bwd(res, dy):
+        from mp_hsir_tpu.ops.basic import pixel_shuffle, pixel_unshuffle
+
         x, w = res
+        # the fused pixel (un)shuffle is a pure permutation of the conv
+        # output; its VJP is the inverse permutation on the cotangent (an
+        # XLA relayout — training-only traffic)
+        if mode == "down":
+            dy = pixel_shuffle(dy, 2)
+        elif mode == "up":
+            dy = pixel_unshuffle(dy, 2)
         dy = dy.astype(x.dtype)
         # dx = conv3x3(dy, flip(w)^T): spatially flipped, in/out swapped —
         # exact for stride 1 / zero pad 1
@@ -1026,5 +1035,5 @@ def _conv3_core(interpret: bool):
     return core
 
 
-def conv3x3_fused(x, w, interpret=False):
-    return _conv3_core(bool(interpret))(x, w)
+def conv3x3_fused(x, w, interpret=False, mode="plain"):
+    return _conv3_core(bool(interpret), mode)(x, w)

@@ -430,3 +430,37 @@ def test_prompt_fusion_fused_entry_exit():
             setattr(PA, n, origs[n])
     assert seen["x2"] == 1 and seen["proj"] == 1, seen  # fusion actually ran
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+
+def test_fused_conv3x3_down_up_matches_shuffles():
+    """conv3x3 + pixel (un)shuffle fused in one writeback == the explicit
+    conv -> shuffle chain (torch channel order), and gradients flow through
+    the shuffled-cotangent VJP."""
+    from mp_hsir_tpu.ops.basic import pixel_shuffle, pixel_unshuffle
+    from mp_hsir_tpu.ops.conv import conv2d
+    from mp_hsir_tpu.ops.pallas_attention import (
+        fused_conv3x3_down_nhwc,
+        fused_conv3x3_up_nhwc,
+    )
+
+    x = jnp.asarray(RNG.standard_normal((2, 16, 8, 6)).astype(np.float32))
+    wdn = jnp.asarray(RNG.standard_normal((3, 3, 6, 3)).astype(np.float32))
+    want = np.asarray(pixel_unshuffle(conv2d(x, wdn, padding=1), 2))
+    got = np.asarray(fused_conv3x3_down_nhwc(x, wdn, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+    wup = jnp.asarray(RNG.standard_normal((3, 3, 6, 8)).astype(np.float32))
+    want = np.asarray(pixel_shuffle(conv2d(x, wup, padding=1), 2))
+    got = np.asarray(fused_conv3x3_up_nhwc(x, wup, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+    def loss_fused(xx, ww):
+        return jnp.sum(fused_conv3x3_down_nhwc(xx, ww, interpret=True) ** 2)
+
+    def loss_plain(xx, ww):
+        return jnp.sum(pixel_unshuffle(conv2d(xx, ww, padding=1), 2) ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, wdn)
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, wdn)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p), atol=2e-3, rtol=1e-4)
