@@ -113,6 +113,136 @@ def make_classifier_router(classifier_ckpt: str, data_type: str):
     return route
 
 
+def _make_eval_step(fwd, mode: int, save_images: bool):
+    """ONE device dispatch per cube: forward + on-device PSNR/SSIM/SAM.
+    Returns scalar device values (and the restored cube only when images
+    are being saved), so the pipelined driver reads back a few floats per
+    cube instead of synchronizing on the full map."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_hsir_tpu.ops.metrics import _psnr_ssim_jit, _sam_jit
+
+    @jax.jit
+    def step(params, degraded, clean, tid):
+        restored = fwd(params, degraded, tid)
+        psnr_b, ssim_b = _psnr_ssim_jit(restored, jnp.clip(clean, 0.0, 1.0))
+        sam_v = jnp.mean(_sam_jit(restored, clean))
+        if mode == 10:
+            # band-completion scoring (metrics.compute_psnr_ssim_missing_bands)
+            missing = jnp.all(degraded == 0, axis=(-2, -1))  # (B, C)
+            n_missing = jnp.sum(missing, axis=1)
+            has = n_missing > 0
+            psnr_i = jnp.sum(jnp.where(missing, psnr_b, 0.0), axis=1) / jnp.maximum(n_missing, 1)
+            ssim_i = jnp.sum(jnp.where(missing, ssim_b, 0.0), axis=1) / jnp.maximum(n_missing, 1)
+            count = jnp.sum(has)
+            p = jnp.sum(jnp.where(has, psnr_i, 0.0))
+            s = jnp.sum(jnp.where(has, ssim_i, 0.0))
+        else:
+            p = jnp.mean(psnr_b)
+            s = jnp.mean(ssim_b)
+            count = jnp.asarray(psnr_b.shape[0])
+        out = (p, s, count, sam_v)
+        return out + (restored,) if save_images else out
+
+    return step
+
+
+def _run_mode_pipelined(cfg: EvalConfig, model_cfg: ModelConfig, params, fwd,
+                        dataset, task_id: int, out_dir: str, mode: int):
+    """Serving-style streaming eval: a prefetch thread runs the host-side
+    degradation pipeline while up to ``cfg.pipeline`` fused
+    forward+metrics dispatches stay in flight; the consumer drains scalar
+    metrics. Amortizes both host preprocessing and the per-dispatch RPC
+    floor of a tunneled device."""
+    import queue
+    import threading
+    from collections import deque
+
+    import jax
+    import jax.numpy as jnp
+
+    step = _make_eval_step(fwd, mode, cfg.save_images)
+    psnr, ssim, sam = AverageMeter(), AverageMeter(), AverageMeter()
+    q: "queue.Queue" = queue.Queue(maxsize=max(2, cfg.pipeline))
+    qd: "queue.Queue" = queue.Queue(maxsize=max(2, cfg.pipeline))
+
+    def producer():
+        # stage 1: disk IO + host degradation pipeline
+        for item in dataset:
+            q.put(item)
+        q.put(None)
+
+    def uploader():
+        # stage 2: host->device transfer (the dominant per-cube cost on a
+        # tunneled device: ~67 MB f32 per 512^2x31 cube) overlaps stage 1's
+        # numpy work and the device compute of cubes already in flight
+        while True:
+            item = q.get()
+            if item is None:
+                qd.put(None)
+                return
+            degraded = item["degraded"][None]
+            clean = item["clean"][None]
+            qd.put((item["name"], clean, degraded,
+                    jax.device_put(degraded), jax.device_put(clean)))
+
+    threading.Thread(target=producer, daemon=True).start()
+    threading.Thread(target=uploader, daemon=True).start()
+
+    inflight: deque = deque()
+    warmed = set()
+    n_items = 0
+    wall = 0.0
+    t_start = None
+
+    def drain_one():
+        nonlocal wall
+        name, clean_np, degraded_np, outs = inflight.popleft()
+        vals = [np.asarray(v) for v in outs[:4]]
+        p, s, count, sam_v = float(vals[0]), float(vals[1]), int(vals[2]), float(vals[3])
+        if count > 0:
+            psnr.update(p / count if mode == 10 else p, count)
+            ssim.update(s / count if mode == 10 else s, count)
+            sam.update(sam_v, count)
+        if cfg.save_images:
+            rest_np = np.asarray(outs[4])
+            save_false_color(clean_np, cfg.select_bands, os.path.join(out_dir, f"origin_{name}.png"))
+            save_false_color(degraded_np, cfg.select_bands, os.path.join(out_dir, f"degraded_{name}.png"))
+            save_false_color(np.clip(rest_np, 0, 1), cfg.select_bands, os.path.join(out_dir, f"restored_{name}.png"))
+
+    td = jnp.asarray([task_id])
+    while True:
+        item = qd.get()
+        if item is None:
+            break
+        n_items += 1
+        name, clean, degraded, dd, cd = item
+        if degraded.shape not in warmed:
+            if t_start is not None:
+                wall += time.perf_counter() - t_start
+                t_start = None
+            warm = step(params, dd, cd, td)
+            np.asarray(warm[0])  # compile + remote completion, untimed
+            warmed.add(degraded.shape)
+        if t_start is None:
+            t_start = time.perf_counter()
+        inflight.append((name, clean, degraded, step(params, dd, cd, td)))
+        while len(inflight) >= max(1, cfg.pipeline):
+            drain_one()
+    while inflight:
+        drain_one()
+    if t_start is not None:
+        wall += time.perf_counter() - t_start
+
+    label = MODE_LABEL[mode](cfg)
+    print("%s: psnr: %.2f, ssim: %.4f" % (label, psnr.avg, ssim.avg))
+    print("%s: sam: %.3f deg, net time: %.3f s/cube (pipelined x%d)"
+          % (label, sam.avg, wall / max(n_items, 1), cfg.pipeline))
+    return {"psnr": psnr.avg, "ssim": ssim.avg, "sam": sam.avg,
+            "sec_per_cube": wall / max(n_items, 1)}
+
+
 def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
              task_router=None, mesh_spatial: int = 1) -> dict:
     import jax.numpy as jnp
@@ -130,6 +260,10 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
         params, fwd = load_model_and_params(cfg.ckpt_path, model_cfg, mesh_spatial)
 
     dataset = ED.MODE_DATASETS[mode](cfg)
+    if cfg.pipeline > 1 and task_router is None:
+        out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
+        return _run_mode_pipelined(cfg, model_cfg, params, fwd, dataset,
+                                   task_id, out_dir, mode)
     out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
     psnr, ssim, sam = AverageMeter(), AverageMeter(), AverageMeter()
     wall = 0.0
@@ -210,6 +344,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_spatial", type=int, default=1,
                    help="shard each cube's rows over N devices (multi-chip eval); "
                         "H must be divisible by 8*N at the deepest level")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="serving-style streaming eval: keep N fused "
+                        "forward+metrics dispatches in flight with a host "
+                        "prefetch thread (1 = reference-style synchronous loop)")
     return p
 
 
@@ -230,6 +368,7 @@ def main(argv=None) -> None:
         bandmis_ratio=args.bandmis_ratio, degrad_id=args.degrad_id,
         select_bands=tuple(args.select_bands), output_path=args.output_path,
         ckpt_path=args.ckpt_path, save_images=not args.no_save_images,
+        pipeline=args.pipeline,
     )
     model_cfg = natural_scene_config() if args.data_type == "natural_scene" else remote_sensing_config()
     import dataclasses

@@ -135,3 +135,9 @@ class EvalConfig:
     output_path: str = "output/"
     ckpt_path: str = ""
     save_images: bool = True
+    # serving-style streaming eval: keep up to `pipeline` cubes in flight
+    # (prefetch thread + async dispatch, forward and metrics fused into ONE
+    # device call per cube with a scalar readback). 1 = the reference's
+    # synchronous loop. No reference equivalent (torch eager has no
+    # dispatch pipeline to amortize).
+    pipeline: int = 1

@@ -862,6 +862,9 @@ def _conv3_raw_call(x, w, interpret=False, mode="plain"):
         ],
         out_specs=out_spec,
         out_shape=out_shape,
+        # f32 eval (the CLI's parity dtype) at 512^2 overflows the 16MB
+        # default scoped-vmem cap on the slab live set; v5e has 128MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, x, x, w.reshape(9, c, cout).astype(x.dtype))
 

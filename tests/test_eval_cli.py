@@ -43,3 +43,28 @@ def test_eval_cli_meshed_matches_single(mat_dir, tmp_path):
     assert np.isfinite(r1["psnr"]) and np.isfinite(r2["psnr"])
     np.testing.assert_allclose(r2["psnr"], r1["psnr"], atol=1e-3)
     np.testing.assert_allclose(r2["ssim"], r1["ssim"], atol=1e-4)
+
+
+def test_eval_cli_pipelined_matches_sync(mat_dir, tmp_path):
+    """--pipeline N (prefetch thread + fused forward+metrics dispatches in
+    flight) must reproduce the synchronous loop's metrics exactly."""
+    from mp_hsir_tpu.utils.image import save_mat_cube
+
+    # a second cube so the pipeline actually overlaps
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0.2, 0.8, (31, 8, 8)).astype(np.float32)
+    cube = np.stack([np.kron(b, np.ones((8, 8), np.float32)) for b in base])
+    import os
+    second = os.path.join(mat_dir, "cube_1.mat")
+    if not os.path.exists(second):
+        save_mat_cube(second, cube)
+
+    cfg = EvalConfig(
+        mode=0, test_dir=mat_dir, gaussian_noise_sigma=70,
+        output_path=str(tmp_path / "out"), save_images=False,
+    )
+    r_sync = run_mode(cfg, TINY)
+    r_pipe = run_mode(dataclasses.replace(cfg, pipeline=3), TINY)
+    np.testing.assert_allclose(r_pipe["psnr"], r_sync["psnr"], atol=1e-4)
+    np.testing.assert_allclose(r_pipe["ssim"], r_sync["ssim"], atol=1e-5)
+    np.testing.assert_allclose(r_pipe["sam"], r_sync["sam"], atol=1e-4)
