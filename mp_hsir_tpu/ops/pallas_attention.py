@@ -502,6 +502,11 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
     bias2d = bias2d.astype(jnp.float32)
     wp, bp = wp.astype(dt), bp.astype(jnp.float32)
 
+    if sp_qk is not None:
+        return _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                             region_map, sp_qk, num_heads=num_heads, eps=eps,
+                             seg_w=seg_w, shift_in=shift_in,
+                             interpret=interpret)
     common = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
@@ -514,11 +519,6 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
     ]
-    if sp_qk is not None:
-        return _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
-                             region_map, sp_qk, num_heads=num_heads, eps=eps,
-                             seg_w=seg_w, shift_in=shift_in,
-                             interpret=interpret)
     if shift_in:
         assert region_map is not None
         n_slab = h // 8
@@ -778,22 +778,12 @@ def fused_ln_gated_mlp_nhwc(
 
 def _conv3_kernel(x_top, x_mid, x_bot, w_ref, out_ref, *, n_slab, cout):
     """y = conv3x3(x) as 9 shifted (8W, Cin) @ (Cin, Cout) MXU matmuls per
-    8-row slab. XLA's NHWC conv at small/unaligned channel counts measures
-    10-15x off the roofline (e.g. 2.2 ms for the 512^2 64->32 down conv);
-    this runs it as dense dots."""
+    8-row slab (shared body: _conv3_y). XLA's NHWC conv at small/unaligned
+    channel counts measures 10-15x off the roofline (e.g. 2.2 ms for the
+    512^2 64->32 down conv); this runs it as dense dots."""
     i = pl.program_id(1)
-    _, ws8, w, c = x_mid.shape
-    top = jnp.where(i > 0, x_top[0], jnp.zeros_like(x_top[0]))
-    bot = jnp.where(i < n_slab - 1, x_bot[0], jnp.zeros_like(x_bot[0]))
-    x10 = jnp.concatenate([top, x_mid[0], bot], axis=0)  # (10, W, C)
-    xp = jnp.pad(x10, ((0, 0), (1, 1), (0, 0)))
-    acc = jnp.zeros((ws8 * w, cout), jnp.float32)
-    for dr in range(3):
-        for dc in range(3):
-            xs = xp[dr : dr + ws8, dc : dc + w, :].reshape(ws8 * w, c)
-            acc = acc + jnp.dot(xs, w_ref[dr * 3 + dc],
-                                preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(ws8, w, cout).astype(out_ref.dtype)
+    out_ref[0] = _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab,
+                          cout).astype(out_ref.dtype)
 
 
 def fused_conv3x3_nhwc(

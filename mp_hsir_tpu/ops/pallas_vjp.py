@@ -489,8 +489,14 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) + bias_ref[h * t : (h + 1) * t, :]
             if has_mask:
-                attn = jnp.where(off, -jnp.inf, attn)
-            attn = jax.nn.softmax(attn, axis=-1)
+                attn = jnp.where(off, -1e9, attn)
+            # mirror the forward primal's clipped softmax (the fwd kernel
+            # skips max-subtract via a +-80 clip): recomputing the EXACT
+            # softmax here would silently pair the clipped forward value
+            # with gradients of a different function if any score drifted
+            # past 80; the VPU softmax stays (the MXU ones-dot variant
+            # measured a 28% training regression — backward is MXU-bound)
+            attn = jax.nn.softmax(jnp.clip(attn, -80.0, 80.0), axis=-1)
             attn_dt = attn.astype(dt)
             o_heads.append(
                 jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))

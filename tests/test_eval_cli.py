@@ -45,22 +45,23 @@ def test_eval_cli_meshed_matches_single(mat_dir, tmp_path):
     np.testing.assert_allclose(r2["ssim"], r1["ssim"], atol=1e-4)
 
 
-def test_eval_cli_pipelined_matches_sync(mat_dir, tmp_path):
+def test_eval_cli_pipelined_matches_sync(tmp_path):
     """--pipeline N (prefetch thread + fused forward+metrics dispatches in
-    flight) must reproduce the synchronous loop's metrics exactly."""
+    flight) must reproduce the synchronous loop's metrics exactly. Own cube
+    dir (NOT the module-scoped mat_dir fixture — mutating that would make
+    the meshed test's dataset depend on execution order)."""
     from mp_hsir_tpu.utils.image import save_mat_cube
 
-    # a second cube so the pipeline actually overlaps
+    d = tmp_path / "cubes"
+    d.mkdir()
     rng = np.random.default_rng(7)
-    base = rng.uniform(0.2, 0.8, (31, 8, 8)).astype(np.float32)
-    cube = np.stack([np.kron(b, np.ones((8, 8), np.float32)) for b in base])
-    import os
-    second = os.path.join(mat_dir, "cube_1.mat")
-    if not os.path.exists(second):
-        save_mat_cube(second, cube)
+    for k in range(2):  # two cubes so the pipeline actually overlaps
+        base = rng.uniform(0.2, 0.8, (31, 8, 8)).astype(np.float32)
+        cube = np.stack([np.kron(b, np.ones((8, 8), np.float32)) for b in base])
+        save_mat_cube(str(d / f"cube_{k}.mat"), cube)
 
     cfg = EvalConfig(
-        mode=0, test_dir=mat_dir, gaussian_noise_sigma=70,
+        mode=0, test_dir=str(d), gaussian_noise_sigma=70,
         output_path=str(tmp_path / "out"), save_images=False,
     )
     r_sync = run_mode(cfg, TINY)

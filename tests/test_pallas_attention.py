@@ -81,12 +81,15 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted, batch):
     """The fused NHWC slab path (LN + window MSA in-kernel, PG gate on
     pooled maps, merged spectral phase 0) must reproduce the plain-jnp
     PGSSTB bit-for-bit-ish — incl. batch > 1 (the merged kernel's scratch
-    ring and Gram accumulators reset per batch element)."""
+    ring and Gram accumulators reset per batch element). The batch-1 case
+    uses H=24 (3 slabs) so the merged kernel's INTERIOR-slab halo branches
+    run (n_slab=2 never exercises the shifted mid-slab bottom halo)."""
     import mp_hsir_tpu.ops.pallas_attention as PA
     from mp_hsir_tpu.models.layers import PGSSTB
 
     dim, heads = 16, 2
-    x = jnp.asarray(RNG.standard_normal((batch, 16, 32, dim)).astype(np.float32))
+    h = 24 if batch == 1 else 16
+    x = jnp.asarray(RNG.standard_normal((batch, h, 32, dim)).astype(np.float32))
     plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
                    shift_size=4 if shifted else 0, mlp_ratio=2.0,
                    compress_ratio=8, prompt_len=16, input_resolution=(64, 64))
