@@ -176,6 +176,11 @@ def make_degrader(
                 k1, k2 = jax.random.split(key)
                 omega = _choice(k1, _cfg["omegas"])
                 cir = _cb[jax.random.randint(k2, (), 0, _cb.shape[0])]
+                if cir.shape != x.shape[1:]:
+                    # the reference resizes its 512^2 cirrus maps to the
+                    # current patch size per call (degradation_utils.py:251,
+                    # cv2 INTER_LINEAR); static shapes so this is trace-time
+                    cir = jax.image.resize(cir, x.shape[1:], method="linear")
                 return D.simulate_haze(x, cir, omega)
         elif t == "poissonN":
             def fn(key, x, _cfg=cfgt):

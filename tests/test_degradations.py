@@ -136,3 +136,20 @@ def test_batch_degrader_switch_and_augment():
     # every sample must actually be degraded (differ from its clean twin)
     per_sample = np.abs(d - c).reshape(6, -1).max(axis=1)
     assert (per_sample > 1e-4).all()
+
+
+def test_haze_degrader_resizes_cirrus_bank():
+    """The haze branch must resize cirrus templates to the patch size (the
+    reference cv2-resizes its 512^2 haze .mats per draw,
+    degradation_utils.py:251) — a 512^2 bank against 32^2 patches used to
+    crash at trace with a broadcast error."""
+    from mp_hsir_tpu.ops.pipeline_degrade import make_batch_degrader
+
+    bank = np.abs(np.random.default_rng(0).standard_normal((2, 512, 512))).astype(np.float32)
+    bank /= bank.max()
+    fn = jax.jit(make_batch_degrader(["haze"], "remote_sensing", cirrus_bank=bank))
+    clean = jnp.asarray(np.stack([CUBE[:10]] * 2))  # (2, 10, 32, 32)
+    degraded, clean_aug = fn(jax.random.key(3), clean, jnp.zeros((2,), jnp.int32))
+    d = np.asarray(degraded)
+    assert d.shape == clean.shape and np.isfinite(d).all()
+    assert np.abs(d - np.asarray(clean_aug)).max() > 1e-4

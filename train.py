@@ -103,7 +103,11 @@ def main(argv=None):
         mesh_data=mesh_data, mesh_spatial=args.mesh_spatial, log_every=args.log_every,
     )
 
-    cirrus = np.stack([default_cirrus(seed=s) for s in range(4)]) if "haze" in tc.de_types_resolved() else None
+    # templates synthesized at the training patch size (the reference
+    # resizes its 512^2 haze .mats to the patch per draw)
+    cirrus = (np.stack([default_cirrus(tc.patch_size, tc.patch_size, seed=s)
+                        for s in range(4)])
+              if "haze" in tc.de_types_resolved() else None)
     pipeline = TrainPipeline(store, tc, cirrus_bank=cirrus, target_bands=target_bands)
 
     state = create_train_state(mc, tc, jax.random.key(args.seed))
