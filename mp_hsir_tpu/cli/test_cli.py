@@ -149,12 +149,15 @@ def _make_eval_step(fwd, mode: int, save_images: bool):
 
 
 def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
-                        dataset, task_id: int, out_dir: str, mode: int):
+                        dataset, task_id: int, out_dir: str, mode: int,
+                        task_router=None):
     """Serving-style streaming eval: a prefetch thread runs the host-side
     degradation pipeline while up to ``cfg.pipeline`` fused
     forward+metrics dispatches stay in flight; the consumer drains scalar
     metrics. Amortizes both host preprocessing and the per-dispatch RPC
-    floor of a tunneled device."""
+    floor of a tunneled device. With ``task_router`` (--auto_task) the
+    classifier runs in the uploader thread, overlapped with the main
+    thread's dispatches."""
     import queue
     import threading
     from collections import deque
@@ -185,8 +188,10 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
             degraded = item["degraded"][None]
             clean = item["clean"][None]
             host = (clean, degraded) if cfg.save_images else (None, None)
+            tid = task_router(degraded) if task_router is not None else task_id
             qd.put((item["name"], host[0], host[1],
-                    jax.device_put(degraded), jax.device_put(clean)))
+                    jax.device_put(degraded), jax.device_put(clean),
+                    jnp.asarray([tid])))
 
     threading.Thread(target=producer, daemon=True).start()
     threading.Thread(target=uploader, daemon=True).start()
@@ -219,13 +224,12 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
             save_false_color(np.clip(rest_np, 0, 1), cfg.select_bands, os.path.join(out_dir, f"restored_{name}.png"))
             save_secs += time.perf_counter() - t_sv
 
-    td = jnp.asarray([task_id])
     while True:
         item = qd.get()
         if item is None:
             break
         n_items += 1
-        name, clean, degraded, dd, cd = item
+        name, clean, degraded, dd, cd, td = item
         if dd.shape not in warmed:
             if t_start is not None:
                 wall += time.perf_counter() - t_start
@@ -269,10 +273,11 @@ def run_mode(cfg: EvalConfig, model_cfg: ModelConfig, params=None, fwd=None,
         params, fwd = load_model_and_params(cfg.ckpt_path, model_cfg, mesh_spatial)
 
     dataset = ED.MODE_DATASETS[mode](cfg)
-    if cfg.pipeline > 1 and task_router is None:
+    if cfg.pipeline > 1:
         out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
         return _run_mode_pipelined(cfg, params, fwd, dataset,
-                                   task_id, out_dir, mode)
+                                   task_id, out_dir, mode,
+                                   task_router=task_router)
     out_dir = os.path.join(cfg.output_path, MODE_SUBDIR[mode])
     psnr, ssim, sam = AverageMeter(), AverageMeter(), AverageMeter()
     wall = 0.0

@@ -69,3 +69,35 @@ def test_eval_cli_pipelined_matches_sync(tmp_path):
     np.testing.assert_allclose(r_pipe["psnr"], r_sync["psnr"], atol=1e-4)
     np.testing.assert_allclose(r_pipe["ssim"], r_sync["ssim"], atol=1e-5)
     np.testing.assert_allclose(r_pipe["sam"], r_sync["sam"], atol=1e-4)
+
+
+def test_eval_cli_pipelined_task_router(tmp_path):
+    """--pipeline with --auto_task: the router runs in the uploader thread;
+    routed ids must match the synchronous loop's (here a deterministic fake
+    router standing in for the classifier)."""
+    from mp_hsir_tpu.utils.image import save_mat_cube
+
+    d = tmp_path / "cubes"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    for k in range(2):
+        base = rng.uniform(0.2, 0.8, (31, 8, 8)).astype(np.float32)
+        cube = np.stack([np.kron(b, np.ones((8, 8), np.float32)) for b in base])
+        save_mat_cube(str(d / f"cube_{k}.mat"), cube)
+
+    calls = []
+
+    def router(degraded):
+        calls.append(degraded.shape)
+        return 0
+
+    cfg = EvalConfig(
+        mode=0, test_dir=str(d), gaussian_noise_sigma=70,
+        output_path=str(tmp_path / "out"), save_images=False,
+    )
+    r_sync = run_mode(cfg, TINY, task_router=router)
+    n_sync = len(calls)
+    r_pipe = run_mode(dataclasses.replace(cfg, pipeline=2), TINY, task_router=router)
+    assert len(calls) == 2 * n_sync  # router consulted per cube in both paths
+    np.testing.assert_allclose(r_pipe["psnr"], r_sync["psnr"], atol=1e-4)
+    np.testing.assert_allclose(r_pipe["ssim"], r_sync["ssim"], atol=1e-5)
