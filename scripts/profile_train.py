@@ -40,7 +40,26 @@ def main():
     # TRAIN_MODE=full|grad|fwd: full step / value_and_grad only / forward
     # loss only (all in training mode, drop-path rngs live)
     train_mode = os.environ.get("TRAIN_MODE", "full")
-    if train_mode == "full":
+    if train_mode == "chain":
+        # One dispatch runs CHAIN_STEPS train steps via lax.scan (state
+        # threaded, per-step rng fold) to amortize the tunnel's ~30 ms
+        # per-dispatch RPC floor. MEASURED NEGATIVE on the tunneled chip:
+        # 0.20 steps/s vs 4.7 for per-step dispatch+readback — the same
+        # ~30x pathology as queueing un-synced heavy dispatches (see
+        # CLAUDE.md); per-step scalar readback pacing is REQUIRED here.
+        # Kept as a probe for non-tunneled hosts.
+        inner = make_train_step(mc, mesh)
+        n_chain = int(os.environ.get("CHAIN_STEPS", "10"))
+
+        def step(state, batch_d, rng):
+            def body(carry, i):
+                st = carry
+                st, loss = inner(st, batch_d, jax.random.fold_in(rng, i))
+                return st, loss
+
+            state, losses = jax.lax.scan(body, state, jnp.arange(n_chain))
+            return state, jnp.mean(losses)
+    elif train_mode == "full":
         step = make_train_step(mc, mesh)
     else:
         import dataclasses as _dc
@@ -90,8 +109,10 @@ def main():
         state, loss = step(state, batch_d, jax.random.fold_in(rng, i))
         float(loss)  # host readback forces completion each step
     dt = time.perf_counter() - t0
-    print(f"{n_steps} steps in {dt:.2f}s: {n_steps / dt:.2f} steps/s, "
-          f"{n_steps * batch / dt:.1f} patches/s")
+    eff = n_steps * (int(os.environ.get("CHAIN_STEPS", "10"))
+                     if train_mode == "chain" else 1)
+    print(f"{eff} steps in {dt:.2f}s: {eff / dt:.2f} steps/s, "
+          f"{eff * batch / dt:.1f} patches/s")
 
 
 if __name__ == "__main__":
