@@ -109,9 +109,21 @@ class MPHSIRNet(nn.Module):
         dp_ref = tuple(dp2[i % len(dp2)] for i in range(cfg.num_refinement_blocks))
         ref = base_block("refinement", dim * 2, cfg.num_refinement_blocks, cfg.heads[0], cfg.window_size[0], cfg.compress_ratios[0], dp_ref, 0)(dec1, deterministic)
 
-        out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax,
-                       use_pallas=cfg.use_pallas_attention, name="output")(ref)
-        out = out.astype(jnp.float32) + inp.astype(jnp.float32).transpose(0, 2, 3, 1)
+        inp_nhwc = inp.astype(jnp.float32).transpose(0, 2, 3, 1)
+        if (cfg.use_pallas_attention and not cfg.bias and ax is None
+                and ref.shape[1] % 8 == 0):
+            # output conv + the model's global input residual in one kernel
+            # writeback (reference net/MP_HSIR.py:843) — the separate f32
+            # full-map add pass never happens; differentiable
+            from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_res_nhwc
+
+            w_out, _ = L.ConvParams(cfg.out_channels, 3, use_bias=False,
+                                    in_features=ref.shape[-1], name="output")()
+            out = fused_conv3x3_res_nhwc(ref, w_out, inp_nhwc)
+        else:
+            out = L.Conv2d(cfg.out_channels, 3, padding=1, use_bias=cfg.bias, axis_name=ax,
+                           use_pallas=cfg.use_pallas_attention, name="output")(ref)
+            out = out.astype(jnp.float32) + inp_nhwc
         return out.transpose(0, 3, 1, 2)  # back to (B, C, H, W)
 
 

@@ -776,14 +776,24 @@ def fused_ln_gated_mlp_nhwc(
 # ---------------------------------------------------------------------------
 
 
-def _conv3_kernel(x_top, x_mid, x_bot, w_ref, out_ref, *, n_slab, cout):
+def _conv3_kernel(x_top, x_mid, x_bot, w_ref, *refs, n_slab, cout,
+                  has_res=False):
     """y = conv3x3(x) as 9 shifted (8W, Cin) @ (Cin, Cout) MXU matmuls per
     8-row slab (shared body: _conv3_y). XLA's NHWC conv at small/unaligned
     channel counts measures 10-15x off the roofline (e.g. 2.2 ms for the
-    512^2 64->32 down conv); this runs it as dense dots."""
+    512^2 64->32 down conv); this runs it as dense dots. ``has_res``: a
+    same-shape residual rides the writeback (the model's global
+    ``restored = conv(ref) + input`` add, net/MP_HSIR.py:843 — saves the
+    separate full-map f32 add pass)."""
+    if has_res:
+        res_ref, out_ref = refs
+    else:
+        out_ref, = refs
     i = pl.program_id(1)
-    out_ref[0] = _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab,
-                          cout).astype(out_ref.dtype)
+    y = _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab, cout)
+    if has_res:
+        y = y + res_ref[0].astype(jnp.float32)
+    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def fused_conv3x3_nhwc(
@@ -797,6 +807,16 @@ def fused_conv3x3_nhwc(
     from mp_hsir_tpu.ops.pallas_vjp import conv3x3_fused
 
     return conv3x3_fused(x, w, interpret=interpret)
+
+
+def fused_conv3x3_res_nhwc(x: Array, w: Array, res: Array,
+                           interpret: bool = False) -> Array:
+    """conv3x3(x) + res in one writeback (the model's global input residual,
+    net/MP_HSIR.py:843); output in res's dtype (f32 for the restoration
+    head). Differentiable: dres = dy, dx/dw via the plain conv backward."""
+    from mp_hsir_tpu.ops.pallas_vjp import conv3x3_fused
+
+    return conv3x3_fused(x, w, interpret=interpret, res=res)
 
 
 def fused_conv3x3_down_nhwc(x: Array, w: Array, interpret: bool = False) -> Array:
@@ -818,7 +838,7 @@ def fused_conv3x3_up_nhwc(x: Array, w: Array, interpret: bool = False) -> Array:
     return conv3x3_fused(x, w, interpret=interpret, mode="up")
 
 
-def _conv3_raw_call(x, w, interpret=False, mode="plain"):
+def _conv3_raw_call(x, w, interpret=False, mode="plain", res=None):
     """``mode``: "plain" -> (B, H, W, Cout); "down" -> PixelUnshuffle(2)
     rides the writeback, (B, H/2, W/2, 4*Cout); "up" -> PixelShuffle(2),
     (B, 2H, 2W, Cout/4). The shuffles happen in VMEM as 0/1-matrix MXU
@@ -828,9 +848,11 @@ def _conv3_raw_call(x, w, interpret=False, mode="plain"):
     cout = w.shape[-1]
     assert h % 8 == 0, h
     if mode == "plain":
-        kern = functools.partial(_conv3_kernel, n_slab=h // 8, cout=cout)
+        kern = functools.partial(_conv3_kernel, n_slab=h // 8, cout=cout,
+                                 has_res=res is not None)
         out_spec = pl.BlockSpec((1, 8, wd, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((b, h, wd, cout), x.dtype)
+        out_shape = jax.ShapeDtypeStruct((b, h, wd, cout),
+                                         res.dtype if res is not None else x.dtype)
     elif mode == "down":
         assert wd % 2 == 0
         kern = functools.partial(_conv3_down_kernel, n_slab=h // 8, cout=cout)
@@ -841,22 +863,28 @@ def _conv3_raw_call(x, w, interpret=False, mode="plain"):
         kern = functools.partial(_conv3_up_kernel, n_slab=h // 8, cout=cout)
         out_spec = pl.BlockSpec((1, 16, 2 * wd, cout // 4), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((b, 2 * h, 2 * wd, cout // 4), x.dtype)
+    in_specs = [
+        pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, wd, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, x, x, w.reshape(9, c, cout).astype(x.dtype)]
+    if res is not None:
+        assert mode == "plain"
+        in_specs.append(pl.BlockSpec((1, 8, wd, cout), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM))
+        args.append(res)
     return pl.pallas_call(
         kern,
         grid=(b, h // 8),
-        in_specs=[
-            pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, wd, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, wd, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         # f32 eval (the CLI's parity dtype) at 512^2 overflows the 16MB
         # default scoped-vmem cap on the slab live set; v5e has 128MB
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, x, x, w.reshape(9, c, cout).astype(x.dtype))
+    )(*args)
 
 
 def _conv3_y(x_top, x_mid, x_bot, w_ref, i, n_slab, cout):

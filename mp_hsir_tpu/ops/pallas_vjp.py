@@ -995,20 +995,29 @@ def spectral_fused(x, wqkv2, wdw2, temp2, wout2, ln_w, ln_b, *, num_heads,
 
 
 @functools.lru_cache(maxsize=None)
-def _conv3_core(interpret: bool, mode: str = "plain"):
+def _conv3_core(interpret: bool, mode: str = "plain", has_res: bool = False):
     from mp_hsir_tpu.ops.pallas_attention import _conv3_raw_call
 
-    @jax.custom_vjp
-    def core(x, w):
-        return _conv3_raw_call(x, w, interpret, mode=mode)
+    if has_res:
+        @jax.custom_vjp
+        def core(x, w, r):
+            return _conv3_raw_call(x, w, interpret, mode=mode, res=r)
 
-    def fwd(x, w):
-        return core(x, w), (x, w)
+        def fwd(x, w, r):
+            return core(x, w, r), (x, w)
+    else:
+        @jax.custom_vjp
+        def core(x, w):
+            return _conv3_raw_call(x, w, interpret, mode=mode)
+
+        def fwd(x, w):
+            return core(x, w), (x, w)
 
     def bwd(res, dy):
         from mp_hsir_tpu.ops.basic import pixel_shuffle, pixel_unshuffle
 
         x, w = res
+        dy_res = dy  # residual cotangent passes straight through (f32)
         # the fused pixel (un)shuffle is a pure permutation of the conv
         # output; its VJP is the inverse permutation on the cotangent (an
         # XLA relayout — training-only traffic)
@@ -1035,11 +1044,15 @@ def _conv3_core(interpret: bool, mode: str = "plain"):
                     xs, dy2, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
         dw = jnp.stack(taps, axis=0).reshape(3, 3, cin, cout)
+        if has_res:
+            return dx, dw.astype(w.dtype), dy_res
         return dx, dw.astype(w.dtype)
 
     core.defvjp(fwd, bwd)
     return core
 
 
-def conv3x3_fused(x, w, interpret=False, mode="plain"):
+def conv3x3_fused(x, w, interpret=False, mode="plain", res=None):
+    if res is not None:
+        return _conv3_core(bool(interpret), mode, has_res=True)(x, w, res)
     return _conv3_core(bool(interpret), mode)(x, w)

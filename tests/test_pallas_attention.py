@@ -467,3 +467,28 @@ def test_fused_conv3x3_down_up_matches_shuffles():
     gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, wdn)
     np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p), atol=2e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p), atol=2e-3, rtol=1e-4)
+
+
+def test_fused_conv3x3_res_matches_add():
+    """conv3x3 + residual writeback == conv then f32 add, with gradients
+    (the model's global input-residual head)."""
+    from mp_hsir_tpu.ops.conv import conv2d
+    from mp_hsir_tpu.ops.pallas_attention import fused_conv3x3_res_nhwc
+
+    x = jnp.asarray(RNG.standard_normal((2, 16, 8, 6)).astype(np.float32))
+    w = jnp.asarray(RNG.standard_normal((3, 3, 6, 4)).astype(np.float32))
+    r = jnp.asarray(RNG.standard_normal((2, 16, 8, 4)).astype(np.float32))
+    want = np.asarray(conv2d(x, w, padding=1).astype(jnp.float32) + r)
+    got = np.asarray(fused_conv3x3_res_nhwc(x, w, r, interpret=True))
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
+
+    def loss_f(xx, ww, rr):
+        return jnp.sum(fused_conv3x3_res_nhwc(xx, ww, rr, interpret=True) ** 2)
+
+    def loss_p(xx, ww, rr):
+        return jnp.sum((conv2d(xx, ww, padding=1).astype(jnp.float32) + rr) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(x, w, r)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, w, r)
+    for a, b, tol in zip(gf, gp, (2e-4, 2e-3, 1e-5)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=tol, rtol=1e-4)
