@@ -170,28 +170,42 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
     q: "queue.Queue" = queue.Queue(maxsize=max(2, cfg.pipeline))
     qd: "queue.Queue" = queue.Queue(maxsize=max(2, cfg.pipeline))
 
+    class _StageError:
+        """Error sentinel: a failure in a pipeline thread must reach the
+        consumer (a bare daemon-thread death would leave the main loop
+        blocked forever on qd.get() with no traceback)."""
+
+        def __init__(self, exc: BaseException):
+            self.exc = exc
+
     def producer():
         # stage 1: disk IO + host degradation pipeline
-        for item in dataset:
-            q.put(item)
-        q.put(None)
+        try:
+            for item in dataset:
+                q.put(item)
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
+            q.put(_StageError(e))
 
     def uploader():
         # stage 2: host->device transfer (the dominant per-cube cost on a
         # tunneled device: ~67 MB f32 per 512^2x31 cube) overlaps stage 1's
         # numpy work and the device compute of cubes already in flight
-        while True:
-            item = q.get()
-            if item is None:
-                qd.put(None)
-                return
-            degraded = item["degraded"][None]
-            clean = item["clean"][None]
-            host = (clean, degraded) if cfg.save_images else (None, None)
-            tid = task_router(degraded) if task_router is not None else task_id
-            qd.put((item["name"], host[0], host[1],
-                    jax.device_put(degraded), jax.device_put(clean),
-                    jnp.asarray([tid])))
+        try:
+            while True:
+                item = q.get()
+                if item is None or isinstance(item, _StageError):
+                    qd.put(item)
+                    return
+                degraded = item["degraded"][None]
+                clean = item["clean"][None]
+                host = (clean, degraded) if cfg.save_images else (None, None)
+                tid = task_router(degraded) if task_router is not None else task_id
+                qd.put((item["name"], host[0], host[1],
+                        jax.device_put(degraded), jax.device_put(clean),
+                        jnp.asarray([tid])))
+        except BaseException as e:  # noqa: BLE001
+            qd.put(_StageError(e))
 
     threading.Thread(target=producer, daemon=True).start()
     threading.Thread(target=uploader, daemon=True).start()
@@ -228,6 +242,8 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
         item = qd.get()
         if item is None:
             break
+        if isinstance(item, _StageError):
+            raise RuntimeError("eval pipeline stage failed") from item.exc
         n_items += 1
         name, clean, degraded, dd, cd, td = item
         if dd.shape not in warmed:

@@ -87,6 +87,19 @@ def clip_text_table(task_classes: int) -> np.ndarray:
     return _placeholder_table(task_classes)
 
 
+def clip_table_is_placeholder(task_classes: int) -> bool:
+    """True when no real CLIP table source exists for this task count and
+    `clip_text_table` would return the seeded placeholder. Used to emit a
+    loud warning when a REAL converted reference checkpoint meets the
+    placeholder (PSNR parity is impossible in that combination — the prompt
+    pathway sees different text embeddings; see module docstring)."""
+    for source in (os.environ.get("MP_HSIR_CLIP_TABLE", ""), _ASSET):
+        if source and os.path.exists(source):
+            if f"table_{task_classes}" in np.load(source):
+                return False
+    return True
+
+
 def text_prompt_weights(task_id: np.ndarray | "jax.Array", task_classes: int):
     """task ids -> (B, T) prompt weights.
 

@@ -149,9 +149,13 @@ def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
     """(nH, 64, 64) window rel-pos bias -> (nH*T, T) bias over a T-token
     SEGMENT (8 rows x seg_w cols = seg_w/8 side-by-side 8x8 windows in slab
     order, token idx = r*seg_w + col; T = 8*seg_w). Cross-window entries
-    are pre-baked to -1e9 (exp underflows to exactly 0 after the row-max
-    subtraction), so the unshifted kernel needs no iota mask/`where` at
-    all — that VPU work measured ~0.2 ms/call at 512^2."""
+    are pre-baked to -1e9; the kernel's clipped softmax (clip to +-80, no
+    row-max subtraction — see _nhwc_kernel) maps them to exp(-80) ~ 1.8e-35,
+    numerically (not exactly) zero. The trade is exactness for VPU work:
+    the iota mask/`where` measured ~0.2 ms/call at 512^2 and the row-max
+    another cross-lane reduce. Semantics assume live logits (score +
+    rel-pos bias) stay within +-80 — true for every checkpoint measured;
+    a trained logit drifting past that would distort probabilities."""
     nh, n, _ = rel_bias.shape
     t = 8 * seg_w
     idx = np.arange(t)

@@ -253,6 +253,35 @@ def convert_torch_classifier_state(
     return new_vars, report
 
 
+def _warn_if_placeholder_clip_table(target_params) -> bool:
+    """Loud warning when a REAL converted checkpoint will run against the
+    seeded placeholder CLIP table (models/text_prompts.py): restoration
+    quality CANNOT match the published numbers in that combination because
+    the prompt pathway sees different text embeddings. Task count is read
+    off the model's own TVSP table shape. Returns True if warned."""
+    import warnings
+
+    from mp_hsir_tpu.models.text_prompts import clip_table_is_placeholder
+
+    task_classes = None
+    for path, value in _flatten(target_params).items():
+        if path[-1] == "text_prompt_learnable":
+            task_classes = int(np.asarray(value).shape[0])
+            break
+    if task_classes is None or not clip_table_is_placeholder(task_classes):
+        return False
+    msg = (
+        "converted reference checkpoint is running with the SEEDED "
+        "PLACEHOLDER CLIP text-embedding table — restored PSNR will NOT "
+        "match the published reference numbers. Provide the real table via "
+        "scripts/generate_clip_embeddings.py (assets/clip_text_embeddings"
+        ".npz) or MP_HSIR_CLIP_TABLE (see models/text_prompts.py)."
+    )
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    print(f"[ckpt] WARNING: {msg}")
+    return True
+
+
 def load_reference_checkpoint(path: str, target_params, verbose: bool = True):
     """One-call converter: torch Lightning ckpt -> flax params with
     shape-filtered partial load."""
@@ -264,4 +293,6 @@ def load_reference_checkpoint(path: str, target_params, verbose: bool = True):
             f"shape-skipped {len(report['shape_skipped'])}, "
             f"unmatched {len(report['unmatched'])}"
         )
+    if report["loaded"]:
+        _warn_if_placeholder_clip_table(target_params)
     return params, report

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 GOLDEN_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "tests", "goldens", "eval_goldens.json")
 
-MODES = list(range(11))
+MODES = list(range(13))
 PSNR_TOL = 0.02   # dB
 SSIM_TOL = 1e-3
 SAM_TOL = 5e-3
@@ -40,6 +40,20 @@ def make_fixture(d: str) -> None:
     save_mat_cube(os.path.join(d, "golden_0.mat"), cube)
 
 
+def make_degraded_fixture(clean_dir: str, d: str) -> None:
+    """Deterministic paired 'real degraded' dir for mode 12 (the reference's
+    Real_Degrad_Dataset loads clean/degraded pairs, dataset_utils.py:212)."""
+    import numpy as np
+
+    from mp_hsir_tpu.utils.image import load_mat_cube, save_mat_cube
+
+    rng = np.random.default_rng(4321)
+    for name in sorted(os.listdir(clean_dir)):
+        cube = load_mat_cube(os.path.join(clean_dir, name))
+        noisy = np.clip(cube + rng.normal(0, 30 / 255.0, cube.shape), 0, 1)
+        save_mat_cube(os.path.join(d, name), noisy.astype(np.float32))
+
+
 def run_sweep(tmp_dir: str) -> dict:
     from mp_hsir_tpu.cli.test_cli import load_model_and_params, run_mode
     from mp_hsir_tpu.config import EvalConfig, ModelConfig
@@ -49,12 +63,16 @@ def run_sweep(tmp_dir: str) -> dict:
         num_refinement_blocks=1, heads=(2, 2, 2), task_classes=6,
     )
     cube_dir = os.path.join(tmp_dir, "cubes")
+    degrad_dir = os.path.join(tmp_dir, "cubes_degraded")
     os.makedirs(cube_dir, exist_ok=True)
+    os.makedirs(degrad_dir, exist_ok=True)
     make_fixture(cube_dir)
+    make_degraded_fixture(cube_dir, degrad_dir)
     params, fwd = load_model_and_params("", tiny)
     results = {}
     for mode in MODES:
         cfg = EvalConfig(mode=mode, test_dir=cube_dir,
+                         test_degrad_dir=degrad_dir,
                          output_path=os.path.join(tmp_dir, "out"),
                          save_images=False)
         r = run_mode(cfg, tiny, params=params, fwd=fwd)
@@ -84,6 +102,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true", help="write goldens")
     args = ap.parse_args()
+
+    # goldens are compared on the tests' CPU platform — pin CPU here the
+    # same way tests/conftest.py does (env vars alone cannot undo the axon
+    # sitecustomize's platform pin)
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
     with tempfile.TemporaryDirectory() as tmp:
         results = run_sweep(tmp)
