@@ -36,6 +36,34 @@ Array = jax.Array
 
 
 # ---------------------------------------------------------------------------
+# Fused-path coverage counters (round-2 VERDICT #6)
+# ---------------------------------------------------------------------------
+#
+# Trace-time counters: jit traces each program once, so the counts recorded
+# during a trace reflect exactly which routing each block compiled to. Keys:
+#   pgsstb_fused_epilogue          single-device fused epilogue (all adds
+#                                  ride kernel writebacks)
+#   pgsstb_fused_sharded_epilogue  mesh: split-phase sharded spectral kernel
+#                                  with the PGSSTB epilogue fused
+#   pgsstb_fused_explicit          fused kernels, explicit composition
+#                                  (training with drop-path, etc.)
+#   pgsstb_unfused                 jnp windowed path (no Pallas)
+#   spectral_pallas / spectral_pallas_sharded / spectral_jnp
+# Reset with reset_fused_path_stats() before tracing; read FUSED_PATH_STATS
+# after jit/apply. scripts/profile_stages.py prints these under --mesh.
+
+FUSED_PATH_STATS: dict = {}
+
+
+def reset_fused_path_stats() -> None:
+    FUSED_PATH_STATS.clear()
+
+
+def _count_path(name: str) -> None:
+    FUSED_PATH_STATS[name] = FUSED_PATH_STATS.get(name, 0) + 1
+
+
+# ---------------------------------------------------------------------------
 # torch-default initializers (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)))
 # ---------------------------------------------------------------------------
 
@@ -320,16 +348,18 @@ class SpectralAttention(nn.Module):
     axis_name: Optional[str] = None
     spectral_axis: Optional[str] = None
     use_pallas: bool = False
-    # EVAL-ONLY opt-in: route spatially-sharded calls through the split-phase
-    # Pallas kernel (psum'd Gram partials; ops/pallas_attention.py
-    # fused_spectral_attention_sharded). No VJP — training under a mesh must
-    # keep this False and take the differentiable jnp formulation.
-    allow_sharded_kernel: bool = False
+    # Route spatially-sharded calls through the split-phase Pallas kernel
+    # (psum'd Gram partials; ops/pallas_attention.py
+    # fused_spectral_attention_sharded). DIFFERENTIABLE since round 3
+    # (ops/pallas_vjp.py sp0_sharded/sp1_sharded) — mesh training runs the
+    # fused path too.
+    allow_sharded_kernel: bool = True
 
     @nn.compact
     def __call__(self, x: Array, ln_w: Optional[Array] = None,
                  ln_b: Optional[Array] = None, residual: bool = False,
                  gate: Optional[Array] = None,
+                 gate_map: Optional[Array] = None,
                  shortcut: Optional[Array] = None,
                  shifted: bool = False,
                  mlp_params=None, x2: Optional[Array] = None) -> Array:
@@ -366,6 +396,8 @@ class SpectralAttention(nn.Module):
                 and self.axis_name is None and h % 8 == 0):
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
 
+            assert gate_map is None, "gate_map is a sharded-path epilogue"
+            _count_path("spectral_pallas")
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
@@ -373,18 +405,21 @@ class SpectralAttention(nn.Module):
             )
         if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
                 and not use_tp and self.axis_name is not None and h % 8 == 0
-                and not shifted and b == 1 and x2 is None):
+                and not shifted and x2 is None):
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_sharded
 
+            _count_path("spectral_pallas_sharded")
             return fused_spectral_attention_sharded(
                 x, wqkv, wdw, temp, wout, self.num_heads, self.axis_name,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                shortcut=shortcut,
+                gate_map=gate_map, shortcut=shortcut,
             )
-        assert (ln_w is None and gate is None and shortcut is None
+        assert (ln_w is None and gate is None and gate_map is None
+                and shortcut is None
                 and not residual and not shifted and mlp_params is None
                 and x2 is None), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
+        _count_path("spectral_jnp")
 
         if use_tp:
             heads = self.num_heads // n_sp
@@ -992,12 +1027,15 @@ class PGSSTB(nn.Module):
         shortcut = x
         fused = self.use_pallas and ws == 8 and w % 16 == 0
         # the in-kernel epilogue bakes the residual adds in (a different
-        # program when drop-path is active) and its gate/shortcut/shifted
-        # kernel variants are eval-only (no custom VJP) — so it is gated on
-        # `deterministic`. Training takes the explicit-roll composition
-        # below: every kernel there (window MSA, plain spectral, gated MLP)
-        # is differentiable via ops/pallas_vjp.py.
-        dp_identity = deterministic
+        # program when drop-path is active). The SINGLE-DEVICE epilogue
+        # kernel variants (gate/shortcut/shifted/mlp-tail) are eval-only (no
+        # custom VJP) — gated on `deterministic`; training takes the
+        # explicit composition below where every kernel (window MSA, plain
+        # spectral, gated MLP) is differentiable via ops/pallas_vjp.py. The
+        # SHARDED epilogue (split-phase spectral kernel) IS differentiable
+        # (sp0/sp1 custom_vjp cores) — mesh training runs it whenever
+        # drop-path is inactive (identity at rate 0).
+        dp_identity = deterministic or self.drop_path == 0.0
 
         if fused:
             # NHWC fused path: LN + window MSA inside one Pallas slab kernel
@@ -1017,18 +1055,23 @@ class PGSSTB(nn.Module):
             # inside the slab kernel (reads this + the next wrapped block)
             # when the single-device epilogue path is active; mesh axes keep
             # the explicit ppermute roll.
-            # Under a spatial mesh, UNSHIFTED blocks at eval still run the
-            # fused epilogue via the split-phase sharded spectral kernel
-            # (psum'd Gram partials + halo ppermute; batch-1 eval only);
-            # shifted sharded blocks keep the explicit-roll fallback.
-            sharded_epilogue = (self.axis_name is not None and shift == 0
-                                and b == 1 and not self.use_bias
+            # Under a spatial mesh, ALL blocks (shifted too, any batch, train
+            # or eval when drop-path is inactive) run the fused epilogue via
+            # the split-phase sharded spectral kernel (psum'd Gram partials +
+            # halo ppermute, differentiable custom_vjp cores); shifted blocks
+            # roll back into the unrolled frame with one explicit ppermute
+            # roll and index the per-window gates through it as a full-res
+            # gate map.
+            sharded_epilogue = (self.axis_name is not None and dp_identity
+                                and not self.use_bias
                                 and self.spectral_axis is None)
-            epilogue_ok = dp_identity and (
-                _pallas_spectral_epilogue_ok(self.use_bias, self.axis_name,
-                                             self.spectral_axis)
-                or sharded_epilogue)
-            kernel_rolls = shift > 0 and epilogue_ok
+            epilogue_ok = (deterministic and _pallas_spectral_epilogue_ok(
+                self.use_bias, self.axis_name, self.spectral_axis)
+            ) or sharded_epilogue
+            # the window kernel's in-kernel roll wraps within the LOCAL map —
+            # only valid single-device; sharded shifted blocks keep the
+            # explicit ppermute roll-in
+            kernel_rolls = shift > 0 and epilogue_ok and self.axis_name is None
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)
             # merged window + spectral-phase-0 kernel: the global Gram/norm
@@ -1059,7 +1102,6 @@ class PGSSTB(nn.Module):
                 spectral = SpectralAttention(
                     self.dim, self.num_heads, self.use_bias, self.axis_name,
                     self.spectral_axis, True, name="gobal_spectral_attn",
-                    allow_sharded_kernel=dp_identity,
                 )
             hidden = int(self.dim * self.mlp_ratio)
             lnw2, lnb2 = LayerNormParams(self.dim, name="norm2")()
@@ -1081,6 +1123,7 @@ class PGSSTB(nn.Module):
                         fused_spectral_attention_nhwc,
                     )
 
+                    _count_path("pgsstb_fused_epilogue")
                     w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
                     return fused_spectral_attention_nhwc(
                         sa_map, sp_wqkv, sp_wdw, sp_temp, sp_wout,
@@ -1089,14 +1132,26 @@ class PGSSTB(nn.Module):
                         mlp=(lnw2, lnb2, w1, b1, w2, b2),
                         precomputed=(sp_gram, sp_nq, sp_nk))
                 if not sharded_epilogue:
+                    _count_path("pgsstb_fused_epilogue")
                     w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
                     return spectral(sa_map, gate=gate, shortcut=shortcut,
                                     shifted=shift > 0,
                                     mlp_params=(lnw2, lnb2, w1, b1, w2, b2))
-                x = spectral(sa_map, gate=gate, shortcut=shortcut,
-                             shifted=shift > 0)
+                _count_path("pgsstb_fused_sharded_epilogue")
+                if shift > 0:
+                    # back to the unrolled frame (the reference applies the
+                    # global spectral attention there) with ONE explicit
+                    # ppermute roll; the per-window gates ride along as a
+                    # rolled full-resolution gate map
+                    sa_unrolled = roll_hw(sa_map, shift, shift, self.axis_name)
+                    gmap = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
+                    gmap = roll_hw(gmap, shift, shift, self.axis_name)
+                    x = spectral(sa_unrolled, gate_map=gmap, shortcut=shortcut)
+                else:
+                    x = spectral(sa_map, gate=gate, shortcut=shortcut)
                 return GatedMlpFusedNHWC(self.dim, hidden, residual=True,
                                          name="mlp")(x, lnw2, lnb2)
+            _count_path("pgsstb_fused_explicit")
             gate_map = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
             x1 = sa_map * gate_map
             x2 = sa_map
@@ -1109,6 +1164,7 @@ class PGSSTB(nn.Module):
             mlp_out = GatedMlpFusedNHWC(self.dim, hidden, name="mlp")(x, lnw2, lnb2)
             return x + dp(mlp_out, deterministic)
         else:
+            _count_path("pgsstb_unfused")
             xn = LayerNorm(self.dim, name="norm1")(x)
             if shift > 0:
                 xn = roll_hw(xn, -shift, -shift, self.axis_name)

@@ -1612,7 +1612,8 @@ def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
     lnw_ref = opt[0] if ln else None
     lnb_ref = opt[1] if ln else None
 
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, i == 0))
+    # accumulators are per-batch blocks (indexed by bi) -> init once per image
+    @pl.when(i == 0)
     def _():
         gram_ref[:] = jnp.zeros_like(gram_ref)
         nq_ref[:] = jnp.zeros_like(nq_ref)
@@ -1626,30 +1627,32 @@ def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
     for h in range(num_heads):
         qh = q[:, h * dh : (h + 1) * dh]
         kh = k[:, h * dh : (h + 1) * dh]
-        gram_ref[h * dh : (h + 1) * dh, :] += jax.lax.dot_general(
+        gram_ref[0, h * dh : (h + 1) * dh, :] += jax.lax.dot_general(
             qh, kh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        nq_ref[h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
-        nk_ref[h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
+        nq_ref[0, h, :] += jnp.sum(jnp.square(qh.astype(jnp.float32)), axis=0)
+        nk_ref[0, h, :] += jnp.sum(jnp.square(kh.astype(jnp.float32)), axis=0)
 
 
 def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
                 comb_ref, *rest, num_heads, n_slab, ln, eps, residual,
-                has_gate, has_shortcut):
+                has_gate, has_gate_map, has_shortcut):
     _, ws8, w, c = x_mid.shape
     dt = x_mid.dtype
     i = pl.program_id(1)
-    n_opt = (2 if ln else 0) + (1 if has_gate else 0) + (1 if has_shortcut else 0)
+    n_opt = ((2 if ln else 0) + (1 if has_gate else 0)
+             + (1 if has_gate_map else 0) + (1 if has_shortcut else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
     lnw_ref = opt.pop(0) if ln else None
     lnb_ref = opt.pop(0) if ln else None
     gate_ref = opt.pop(0) if has_gate else None
+    gmap_ref = opt.pop(0) if has_gate_map else None
     short_ref = opt.pop(0) if has_shortcut else None
 
     x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
                         ln, lnw_ref, lnb_ref, eps, dt, w, c)
     v = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 2 * c, 3 * c, dt, w, c)
-    y = jnp.dot(v, comb_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    y = jnp.dot(v, comb_ref[0].astype(dt), preferred_element_type=jnp.float32)
     y = y.reshape(ws8, w, c).astype(dt)
     if has_gate:
         g = gate_ref[0, 0]  # (W/8, C)
@@ -1657,11 +1660,131 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
         gb = jnp.dot(emat, g.astype(jnp.float32),
                      preferred_element_type=jnp.float32).astype(dt)
         y = x_mid[0] * gb[None] + y
+    if has_gate_map:
+        # full-resolution per-pixel gate (sharded shifted blocks: the caller
+        # rolls the window gates into the unrolled frame explicitly)
+        y = x_mid[0] * gmap_ref[0] + y
     if residual:
         y = x_mid[0] + y
     if has_shortcut:
         y = short_ref[0] + y
     out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _sp_stream_specs(h, w, c):
+    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
+    return stream, top_spec, bot_spec, row_spec
+
+
+def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
+              num_heads, eps, interpret):
+    """Shard-local phase 0: per-image partial (gram (B,C,dh), nq2/nk2
+    (B,nH,dh)) from this shard's rows. The caller psums across shards."""
+    b, h, w, c = x.shape
+    assert h % 8 == 0, h
+    dh = c // num_heads
+    n_slab = h // 8
+    dt = x.dtype
+    ln = ln_w is not None
+    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs0 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full, full]
+    args0 = [x, x, x, halo_top.astype(dt), halo_bot.astype(dt), edge,
+             wqkv2.astype(dt), wdw2.astype(dt)]
+    if ln:
+        in_specs0 += [full, full]
+        args0 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    k0 = functools.partial(_sp0_kernel, num_heads=num_heads, n_slab=n_slab,
+                           ln=ln, eps=eps)
+    return pl.pallas_call(
+        k0,
+        grid=(b, n_slab),
+        in_specs=in_specs0,
+        out_specs=[
+            pl.BlockSpec((1, c, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_heads, dh), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args0)
+
+
+def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
+              gate, gate_map, shortcut, *, num_heads, eps, residual,
+              interpret):
+    """Shard-local phase 1: y = dwconv_v(x) @ comb[b] (+ PGSSTB epilogue)."""
+    b, h, w, c = x.shape
+    n_slab = h // 8
+    dt = x.dtype
+    ln = ln_w is not None
+    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    comb_spec = pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+
+    in_specs1 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
+                 full, comb_spec]
+    args1 = [x, x, x, halo_top.astype(dt), halo_bot.astype(dt), edge,
+             wqkv2.astype(dt), wdw2.astype(dt), comb]
+    if ln:
+        in_specs1 += [full, full]
+        args1 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    if gate is not None:
+        in_specs1.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        args1.append(gate.astype(dt))
+    if gate_map is not None:
+        in_specs1.append(stream)
+        args1.append(gate_map.astype(dt))
+    if shortcut is not None:
+        in_specs1.append(stream)
+        args1.append(shortcut.astype(dt))
+    k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_slab,
+                           ln=ln, eps=eps, residual=residual,
+                           has_gate=gate is not None,
+                           has_gate_map=gate_map is not None,
+                           has_shortcut=shortcut is not None)
+    return pl.pallas_call(
+        k1,
+        grid=(b, n_slab),
+        in_specs=in_specs1,
+        out_specs=stream,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*args1)
+
+
+def spectral_sharded_fold(gram, nq2, nk2, temperature, wout, num_heads):
+    """The tiny global attention fold between the two sharded phases, in
+    plain jnp (differentiable): per-head softmax over the psum'd Gram and the
+    output projection folded into a per-image (C, C) ``comb`` matrix
+    (rows = v lanes)."""
+    b, c, dh = gram.shape
+    temp = temperature.reshape(num_heads).astype(jnp.float32)
+    wr = wout.reshape(c, c).astype(jnp.float32)
+    combs = []
+    for hh in range(num_heads):
+        g = gram[:, hh * dh : (hh + 1) * dh]               # (B, dh, dh)
+        nq = jnp.maximum(jnp.sqrt(nq2[:, hh]), 1e-12)      # (B, dh)
+        nk = jnp.maximum(jnp.sqrt(nk2[:, hh]), 1e-12)
+        attn = jax.nn.softmax(
+            g / (nq[:, :, None] * nk[:, None, :]) * temp[hh], axis=-1)
+        combs.append(jnp.einsum(
+            "bqk,qc->bkc", attn, wr[hh * dh : (hh + 1) * dh, :],
+            preferred_element_type=jnp.float32))
+    return jnp.concatenate(combs, axis=1)  # (B, C, C)
 
 
 def fused_spectral_attention_sharded(
@@ -1676,25 +1799,26 @@ def fused_spectral_attention_sharded(
     ln_b: Optional[Array] = None,
     residual: bool = False,
     gate: Optional[Array] = None,      # (B, H/8, W/8, C) per-window gates
+    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates
     shortcut: Optional[Array] = None,
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
     """SpectralAttention (MDTA) for SPATIALLY SHARDED maps: phase-0 Pallas
     partials per shard -> psum'd Gram/norms -> jnp attention fold -> phase-1
-    Pallas stream with the combined (C, C) matrix and the (unshifted) PGSSTB
+    Pallas stream with the combined per-image (C, C) matrix and the PGSSTB
     epilogue fused. Shard-boundary dwconv halos ride one ppermute each way;
-    true image edges keep the reference's zero padding. Eval-only (no VJP) —
-    training under a mesh uses the jnp formulation."""
+    true image edges keep the reference's zero padding.
+
+    DIFFERENTIABLE: the two Pallas phases are shard-local custom_vjp cores
+    (ops/pallas_vjp.py sp0_sharded/sp1_sharded) and every collective
+    (ppermute halos, psum'd stats) plus the attention fold lives in this
+    traced glue, so JAX transposes the collectives natively — mesh training
+    runs the fused kernel path (round-2 VERDICT #2)."""
+    from mp_hsir_tpu.ops.pallas_vjp import sp0_sharded, sp1_sharded
+
     b, h, w, c = x.shape
     assert h % 8 == 0, h
-    # phase-0 accumulators are shared across the grid's batch dim; mesh
-    # eval restores one cube at a time (cli/test_cli.py feeds B=1)
-    assert b == 1, "sharded spectral kernel supports batch 1"
-    dh = c // num_heads
-    n_slab = h // 8
-    dt = x.dtype
-    ln = ln_w is not None
     n_shards = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
 
@@ -1707,87 +1831,22 @@ def fused_spectral_attention_sharded(
     edge = jnp.stack([(idx == 0).astype(jnp.int32),
                       (idx == n_shards - 1).astype(jnp.int32)])
 
-    wqkv2d = wqkv.reshape(c, 3 * c).astype(dt)
-    wdw2d = wdw.reshape(9, 3 * c).astype(dt)
+    wqkv2d = wqkv.reshape(c, 3 * c)
+    wdw2d = wdw.reshape(9, 3 * c)
 
-    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
-    top_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM)
-    bot_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    in_specs0 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full, full]
-    args0 = [x, x, x, halo_top, halo_bot, edge, wqkv2d, wdw2d]
-    if ln:
-        in_specs0 += [full, full]
-        args0 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
-    k0 = functools.partial(_sp0_kernel, num_heads=num_heads, n_slab=n_slab,
-                           ln=ln, eps=eps)
-    gram, nq2, nk2 = pl.pallas_call(
-        k0,
-        grid=(b, n_slab),
-        in_specs=in_specs0,
-        out_specs=[
-            pl.BlockSpec((c, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, dh), lambda bi, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((c, dh), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, dh), jnp.float32),
-            jax.ShapeDtypeStruct((num_heads, dh), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(*args0)
-    # NOTE: phase-0 accumulators fold the batch too — restore per-batch
-    # handling by requiring B == 1 on this path (mesh eval restores one
-    # cube at a time; callers assert). Global reduction over shards:
+    gram, nq2, nk2 = sp0_sharded(
+        x, halo_top, halo_bot, edge, wqkv2d, wdw2d, ln_w, ln_b,
+        num_heads=num_heads, eps=eps, interpret=interpret)
     gram = jax.lax.psum(gram, axis_name)
     nq2 = jax.lax.psum(nq2, axis_name)
     nk2 = jax.lax.psum(nk2, axis_name)
 
-    # attention fold in jnp (tiny): per head softmax + output-projection
-    temp = temperature.reshape(num_heads).astype(jnp.float32)
-    wr = wout.reshape(c, c).astype(jnp.float32)
-    combs = []
-    for hh in range(num_heads):
-        g = gram[hh * dh : (hh + 1) * dh]
-        nq = jnp.maximum(jnp.sqrt(nq2[hh]), 1e-12)
-        nk = jnp.maximum(jnp.sqrt(nk2[hh]), 1e-12)
-        attn = jax.nn.softmax(g / (nq[:, None] * nk[None, :]) * temp[hh], axis=-1)
-        combs.append(jax.lax.dot_general(
-            attn, wr[hh * dh : (hh + 1) * dh, :], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    comb = jnp.concatenate(combs, axis=0)  # (C, C), rows = v lanes
+    comb = spectral_sharded_fold(gram, nq2, nk2, temperature, wout, num_heads)
 
-    in_specs1 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
-                 full, full]
-    args1 = [x, x, x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb]
-    if ln:
-        in_specs1 += [full, full]
-        args1 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
-    if gate is not None:
-        in_specs1.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
-                                      memory_space=pltpu.VMEM))
-        args1.append(gate.astype(dt))
-    if shortcut is not None:
-        in_specs1.append(stream)
-        args1.append(shortcut.astype(dt))
-    k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_slab,
-                           ln=ln, eps=eps, residual=residual,
-                           has_gate=gate is not None,
-                           has_shortcut=shortcut is not None)
-    return pl.pallas_call(
-        k1,
-        grid=(b, n_slab),
-        in_specs=in_specs1,
-        out_specs=stream,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(*args1)
+    return sp1_sharded(
+        x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb, ln_w, ln_b,
+        gate, gate_map, shortcut, num_heads=num_heads, eps=eps,
+        residual=residual, interpret=interpret)
 
 
 def fused_window_attention(

@@ -1056,3 +1056,506 @@ def conv3x3_fused(x, w, interpret=False, mode="plain", res=None):
     if res is not None:
         return _conv3_core(bool(interpret), mode, has_res=True)(x, w, res)
     return _conv3_core(bool(interpret), mode)(x, w)
+
+
+# ---------------------------------------------------------------------------
+# sharded spectral attention: shard-local custom_vjp cores
+# ---------------------------------------------------------------------------
+#
+# fused_spectral_attention_sharded (ops/pallas_attention.py) is a traced
+# composition: ppermute halos -> sp0 (Pallas partial stats) -> psum -> jnp
+# attention fold -> sp1 (Pallas apply + epilogue). Only the two Pallas calls
+# need custom VJPs; every collective lives in the glue, so JAX transposes
+# ppermute/psum natively and the per-shard backward kernels stay local
+# (round-2 VERDICT #2: mesh training on the fused kernel path). Halo-row
+# gradients are emitted per slab (dtop/dbot), folded into dx for interior
+# slabs and returned as halo cotangents at the shard boundary — those flow
+# back through the ppermute transpose to the neighboring shard's rows.
+
+
+def _float0_zeros(x):
+    """Cotangent for integer-typed primal inputs (the edge-flag vector)."""
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _sp_build_x10_bwd(x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab,
+                      ln, lnw_ref, lnb_ref, eps, dt, w, c):
+    """Rebuild the forward's (10, W, C) conv-space slab, keeping the LN
+    residuals and the edge flags for the backward pass. Mirrors
+    pallas_attention._sp_build_x10 (LN first, true-edge rows zeroed
+    POST-LN)."""
+    top_row = jnp.where(i > 0, x_top[0], htop[0])
+    bot_row = jnp.where(i < n_slab - 1, x_bot[0], hbot[0])
+    x10r = jnp.concatenate([top_row, x_mid[0], bot_row], axis=0)
+    if ln:
+        xn_f32, xhat, rstd = _ln_fwd_rows(x10r.reshape(10 * w, c),
+                                          lnw_ref, lnb_ref, eps)
+        xn = xn_f32.astype(dt).reshape(10, w, c)
+    else:
+        xn, xhat, rstd = x10r, None, None
+    top_edge = jnp.logical_and(i == 0, edge_ref[0] == 1)
+    bot_edge = jnp.logical_and(i == n_slab - 1, edge_ref[1] == 1)
+    top = jnp.where(top_edge, jnp.zeros_like(xn[:1]), xn[:1])
+    bot = jnp.where(bot_edge, jnp.zeros_like(xn[9:]), xn[9:])
+    x10 = jnp.concatenate([top, xn[1:9], bot], axis=0)
+    return x10, xhat, rstd, top_edge, bot_edge
+
+
+def _sp_taps_fwd(x10, w2_ref, wdw_ref, dt, w, c, cl):
+    """1x1 conv + padded depthwise taps on a pre-sliced (C, CL) weight pair:
+    returns (tp (10, W+2, CL) dt, out (8W, CL) dt) — the forward intermediates
+    the backward needs."""
+    t = jnp.dot(x10.reshape(10 * w, c), w2_ref[:],
+                preferred_element_type=jnp.float32)
+    tp = jnp.pad(t.astype(dt).reshape(10, w, cl), ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((8, w, cl), jnp.float32)
+    for dr in range(3):
+        for dc in range(3):
+            wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+            acc = acc + tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32) * wtap
+    return tp, acc.astype(dt).reshape(8 * w, cl)
+
+
+def _sp_taps_bwd(dacc, tp, x10, w2_ref, wdw_ref, dw2_ref, dwdw_ref, dtp_scr,
+                 dt, w, c, cl):
+    """VJP through the depthwise taps + 1x1 conv; accumulates dw2/dwdw and
+    returns dxn10 (10, W, C) f32 (cotangent at the conv input = the LN'd,
+    edge-masked slab)."""
+    dtp_scr[:] = jnp.zeros_like(dtp_scr)
+    dacc3 = dacc.reshape(8, w, cl)
+    for dr in range(3):
+        for dc in range(3):
+            wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+            dwdw_ref[dr * 3 + dc, :] += jnp.sum(
+                dacc3 * tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32),
+                axis=(0, 1))
+            dtp_scr[dr : dr + 8, dc : dc + w, :] += dacc3 * wtap
+    dt10 = dtp_scr[:, 1 : w + 1, :].reshape(10 * w, cl).astype(dt)
+    dw2_ref[:] += jax.lax.dot_general(
+        x10.reshape(10 * w, c), dt10, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dxn10 = jax.lax.dot_general(dt10, w2_ref[:], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return dxn10.reshape(10, w, c)
+
+
+def _sp_rows_out(dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref,
+                 dlnw_ref, dlnb_ref, w, c):
+    """Zero the true-edge cotangent rows, back through the (optional) LN and
+    split into (dx_mid (8,W,C), dtop_row, dbot_row) f32."""
+    ztop = jnp.where(top_edge, jnp.zeros_like(dxn10[:1]), dxn10[:1])
+    zbot = jnp.where(bot_edge, jnp.zeros_like(dxn10[9:]), dxn10[9:])
+    dxn10 = jnp.concatenate([ztop, dxn10[1:9], zbot], axis=0)
+    if ln:
+        dxn2 = dxn10.reshape(10 * w, c)
+        dlnw_ref[:] += jnp.sum(dxn2 * xhat, axis=0, keepdims=True)
+        dlnb_ref[:] += jnp.sum(dxn2, axis=0, keepdims=True)
+        dx10 = _ln_bwd_rows(dxn2, xhat, rstd, lnw_ref).reshape(10, w, c)
+    else:
+        dx10 = dxn10
+    return dx10[1:9], dx10[:1], dx10[9:]
+
+
+def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
+                    wdwqk_ref, dgram_ref, dnq_ref, dnk_ref, *rest,
+                    num_heads, n_slab, ln, eps):
+    """VJP of _sp0_kernel: given (dgram, dnq2, dnk2) — already transposed
+    through the psum/fold by the outer traced glue — recompute q/k per slab
+    and emit dx/dhalo rows + dwqk/dwdwqk."""
+    _, ws8, w, c = x_mid.shape
+    dh = c // num_heads
+    dt = x_mid.dtype
+    i = pl.program_id(1)
+    opt = list(rest[: 2 if ln else 0])
+    k = 2 if ln else 0
+    dx_ref, dtop_ref, dbot_ref, dwqk_ref, dwdwqk_ref = rest[k : k + 5]
+    k += 5
+    dlnw_ref, dlnb_ref = (rest[k : k + 2] if ln else (None, None))
+    dtp_scr = rest[-1]
+    lnw_ref = opt[0] if ln else None
+    lnb_ref = opt[1] if ln else None
+
+    @pl.when(_first_step(2))
+    def _():
+        dwqk_ref[:] = jnp.zeros_like(dwqk_ref)
+        dwdwqk_ref[:] = jnp.zeros_like(dwdwqk_ref)
+        if ln:
+            dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
+            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    x10, xhat, rstd, top_edge, bot_edge = _sp_build_x10_bwd(
+        x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab, ln, lnw_ref,
+        lnb_ref, eps, dt, w, c)
+    tp, qk = _sp_taps_fwd(x10, wqk_ref, wdwqk_ref, dt, w, c, 2 * c)
+    q = qk[:, :c]
+    kk = qk[:, c:]
+    dq_heads, dk_heads = [], []
+    for h in range(num_heads):
+        qh = q[:, h * dh : (h + 1) * dh]
+        kh = kk[:, h * dh : (h + 1) * dh]
+        dg = dgram_ref[0, h * dh : (h + 1) * dh, :].astype(dt)
+        dqh = jax.lax.dot_general(kh, dg, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqh = dqh + 2.0 * qh.astype(jnp.float32) * dnq_ref[0, h, :][None, :]
+        dkh = jnp.dot(qh, dg, preferred_element_type=jnp.float32)
+        dkh = dkh + 2.0 * kh.astype(jnp.float32) * dnk_ref[0, h, :][None, :]
+        dq_heads.append(dqh)
+        dk_heads.append(dkh)
+    dacc = jnp.concatenate(dq_heads + dk_heads, axis=1)  # (8W, 2C) f32
+    dxn10 = _sp_taps_bwd(dacc, tp, x10, wqk_ref, wdwqk_ref, dwqk_ref,
+                         dwdwqk_ref, dtp_scr, dt, w, c, 2 * c)
+    dx_mid, dtop_row, dbot_row = _sp_rows_out(
+        dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref, dlnw_ref,
+        dlnb_ref, w, c)
+    dx_ref[0] = dx_mid.astype(dx_ref.dtype)
+    dtop_ref[0, 0] = dtop_row[0].astype(dtop_ref.dtype)
+    dbot_ref[0, 0] = dbot_row[0].astype(dbot_ref.dtype)
+
+
+def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
+                    wdwv_ref, comb_ref, dy_ref, *rest, num_heads, n_slab,
+                    ln, eps, residual, has_gate, has_gate_map):
+    """VJP of _sp1_kernel: dv = dy @ comb^T back through the v taps; dcomb
+    partials accumulate per image; gate/residual epilogue cotangents attach
+    directly to x_mid."""
+    _, ws8, w, c = x_mid.shape
+    dt = x_mid.dtype
+    i = pl.program_id(1)
+    n_opt = (2 if ln else 0) + (1 if has_gate else 0) + (1 if has_gate_map else 0)
+    opt = list(rest[:n_opt])
+    k = n_opt
+    dx_ref, dtop_ref, dbot_ref, dwv_ref, dwdwv_ref, dcomb_ref = rest[k : k + 6]
+    k += 6
+    if ln:
+        dlnw_ref, dlnb_ref = rest[k : k + 2]
+        k += 2
+    else:
+        dlnw_ref = dlnb_ref = None
+    dgate_ref = rest[k] if has_gate else None
+    k += 1 if has_gate else 0
+    dgmap_ref = rest[k] if has_gate_map else None
+    dtp_scr = rest[-1]
+    lnw_ref = opt.pop(0) if ln else None
+    lnb_ref = opt.pop(0) if ln else None
+    gate_ref = opt.pop(0) if has_gate else None
+    gmap_ref = opt.pop(0) if has_gate_map else None
+
+    @pl.when(_first_step(2))
+    def _():
+        dwv_ref[:] = jnp.zeros_like(dwv_ref)
+        dwdwv_ref[:] = jnp.zeros_like(dwdwv_ref)
+        if ln:
+            dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
+            dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
+
+    @pl.when(i == 0)
+    def _():
+        dcomb_ref[:] = jnp.zeros_like(dcomb_ref)
+
+    x10, xhat, rstd, top_edge, bot_edge = _sp_build_x10_bwd(
+        x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab, ln, lnw_ref,
+        lnb_ref, eps, dt, w, c)
+    tp, v = _sp_taps_fwd(x10, wv_ref, wdwv_ref, dt, w, c, c)
+    dy2 = dy_ref[0].reshape(ws8 * w, c)
+    dcomb_ref[0] += jax.lax.dot_general(
+        v, dy2.astype(dt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(dy2.astype(dt), comb_ref[0].astype(dt),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxn10 = _sp_taps_bwd(dv, tp, x10, wv_ref, wdwv_ref, dwv_ref, dwdwv_ref,
+                         dtp_scr, dt, w, c, c)
+    dx_mid, dtop_row, dbot_row = _sp_rows_out(
+        dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref, dlnw_ref,
+        dlnb_ref, w, c)
+    dy3 = dy_ref[0].astype(jnp.float32)
+    if has_gate:
+        from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
+
+        g = gate_ref[0, 0]  # (W/8, C)
+        emat = _window_expand_mat(w)
+        gb = jnp.dot(emat, g.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+        dx_mid = dx_mid + dy3 * gb[None]
+        dgb = jnp.sum(dy3 * x_mid[0].astype(jnp.float32), axis=0)  # (W, C)
+        dgate_ref[0, 0] = jax.lax.dot_general(
+            emat, dgb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dgate_ref.dtype)
+    if has_gate_map:
+        dx_mid = dx_mid + dy3 * gmap_ref[0].astype(jnp.float32)
+        dgmap_ref[0] = (dy3 * x_mid[0].astype(jnp.float32)).astype(dgmap_ref.dtype)
+    if residual:
+        dx_mid = dx_mid + dy3
+    dx_ref[0] = dx_mid.astype(dx_ref.dtype)
+    dtop_ref[0, 0] = dtop_row[0].astype(dtop_ref.dtype)
+    dbot_ref[0, 0] = dbot_row[0].astype(dbot_ref.dtype)
+
+
+def _sp_bwd_specs(b, h, w, c, n_slab):
+    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec((1, 1, w, c),
+                            lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0),
+                            memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, 1, w, c),
+                            lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    rows_out = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return stream, top_spec, bot_spec, row_spec, rows_out
+
+
+def _acc_spec(shape):
+    return (pl.BlockSpec(shape, lambda bi, i: (0,) * len(shape),
+                         memory_space=pltpu.VMEM),
+            jax.ShapeDtypeStruct(shape, jnp.float32))
+
+
+def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
+                  dgram, dnq, dnk, *, num_heads, eps, interpret):
+    b, h, w, c = x.shape
+    dt = x.dtype
+    n_slab = h // 8
+    ln = ln_w is not None
+    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    stat = lambda d2: pl.BlockSpec((1,) + d2, lambda bi, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM)
+
+    in_specs = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
+                full, stat((c, c // num_heads)),
+                stat((num_heads, c // num_heads)),
+                stat((num_heads, c // num_heads))]
+    args = [x, x, x, htop.astype(dt), hbot.astype(dt), edge,
+            wqkv2[:, : 2 * c].astype(dt), wdw2[:, : 2 * c].astype(dt),
+            dgram, dnq, dnk]
+    if ln:
+        in_specs += [full, full]
+        args += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    wacc = [_acc_spec((c, 2 * c)), _acc_spec((9, 2 * c))]
+    if ln:
+        wacc += [_acc_spec((1, c)), _acc_spec((1, c))]
+    kern = functools.partial(_sp0_bwd_kernel, num_heads=num_heads,
+                             n_slab=n_slab, ln=ln, eps=eps)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_slab),
+        in_specs=in_specs,
+        out_specs=[stream, rows_out, rows_out] + [s for s, _ in wacc],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+        ] + [d for _, d in wacc],
+        scratch_shapes=[pltpu.VMEM((10, w + 2, 2 * c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    if ln:
+        dx, dtopc, dbotc, dwqk, dwdwqk, dlnw, dlnb = out
+    else:
+        dx, dtopc, dbotc, dwqk, dwdwqk = out
+        dlnw = dlnb = None
+    return dx, dtopc, dbotc, dwqk, dwdwqk, dlnw, dlnb
+
+
+def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
+                  gate, gate_map, *, num_heads, eps, residual, interpret):
+    b, h, w, c = x.shape
+    dt = x.dtype
+    n_slab = h // 8
+    ln = ln_w is not None
+    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    comb_spec = pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
+                full, comb_spec, stream]
+    args = [x, x, x, htop.astype(dt), hbot.astype(dt), edge,
+            wqkv2[:, 2 * c :].astype(dt), wdw2[:, 2 * c :].astype(dt),
+            comb, dy.astype(dt)]
+    if ln:
+        in_specs += [full, full]
+        args += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
+    if gate is not None:
+        in_specs.append(gate_spec)
+        args.append(gate.astype(dt))
+    if gate_map is not None:
+        in_specs.append(stream)
+        args.append(gate_map.astype(dt))
+    wacc = [_acc_spec((c, c)), _acc_spec((9, c))]
+    out_specs = [stream, rows_out, rows_out] + [s for s, _ in wacc] + [comb_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), dt),
+        jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+        jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+    ] + [d for _, d in wacc] + [jax.ShapeDtypeStruct((b, c, c), jnp.float32)]
+    if ln:
+        out_specs += [_acc_spec((1, c))[0], _acc_spec((1, c))[0]]
+        out_shape += [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2
+    if gate is not None:
+        out_specs.append(gate_spec)
+        out_shape.append(jax.ShapeDtypeStruct((b, h // 8, w // 8, c), jnp.float32))
+    if gate_map is not None:
+        out_specs.append(stream)
+        out_shape.append(jax.ShapeDtypeStruct((b, h, w, c), dt))
+    kern = functools.partial(_sp1_bwd_kernel, num_heads=num_heads,
+                             n_slab=n_slab, ln=ln, eps=eps, residual=residual,
+                             has_gate=gate is not None,
+                             has_gate_map=gate_map is not None)
+    out = list(pl.pallas_call(
+        kern,
+        grid=(b, n_slab),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((10, w + 2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args))
+    dx, dtopc, dbotc, dwv, dwdwv, dcomb = out[:6]
+    rest = out[6:]
+    dlnw = dlnb = dgate = dgmap = None
+    if ln:
+        dlnw, dlnb = rest[:2]
+        rest = rest[2:]
+    if gate is not None:
+        dgate = rest.pop(0)
+    if gate_map is not None:
+        dgmap = rest.pop(0)
+    return dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap
+
+
+def _halo_grads(dx, dtopc, dbotc):
+    """Interior halo rows fold into dx; the shard-boundary rows (slab 0 top,
+    last slab bottom) are the halo-input cotangents — they ride the ppermute
+    transpose back to the neighbor shard."""
+    n_slab = dtopc.shape[1]
+    dhtop = dtopc[:, 0]
+    dhbot = dbotc[:, n_slab - 1]
+    dx = _fold_halo_rows(dx, dtopc, dbotc)
+    return dx, dhtop[:, None], dhbot[:, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _sp0_core(num_heads: int, eps: float, ln: bool, interpret: bool):
+    """custom_vjp core over (x, halo_top, halo_bot, edge, wqkv2 (C,3C) f32,
+    wdw2 (9,3C) f32, opt {ln_w, ln_b}) -> (gram, nq2, nk2) per image."""
+    from mp_hsir_tpu.ops.pallas_attention import _sp0_call
+
+    @jax.custom_vjp
+    def core(x, htop, hbot, edge, wqkv2, wdw2, opt):
+        return _sp0_call(x, htop, hbot, edge, wqkv2, wdw2,
+                         opt.get("ln_w"), opt.get("ln_b"),
+                         num_heads=num_heads, eps=eps, interpret=interpret)
+
+    def fwd(x, htop, hbot, edge, wqkv2, wdw2, opt):
+        return core(x, htop, hbot, edge, wqkv2, wdw2, opt), (
+            x, htop, hbot, edge, wqkv2, wdw2, opt)
+
+    def bwd(res, cots):
+        x, htop, hbot, edge, wqkv2, wdw2, opt = res
+        dgram, dnq, dnk = cots
+        c = x.shape[-1]
+        dx, dtopc, dbotc, dwqk, dwdwqk, dlnw, dlnb = _sp0_bwd_call(
+            x, htop, hbot, edge, wqkv2, wdw2, opt.get("ln_w"), opt.get("ln_b"),
+            dgram, dnq, dnk, num_heads=num_heads, eps=eps, interpret=interpret)
+        dx, dhtop, dhbot = _halo_grads(dx, dtopc, dbotc)
+        zc = jnp.zeros((c, c), jnp.float32)
+        dwqkv = jnp.concatenate([dwqk, zc], axis=1).astype(wqkv2.dtype)
+        dwdw = jnp.concatenate([dwdwqk, jnp.zeros((9, c), jnp.float32)],
+                               axis=1).astype(wdw2.dtype)
+        dopt = {}
+        if ln:
+            dopt = {"ln_w": dlnw[0].astype(opt["ln_w"].dtype),
+                    "ln_b": dlnb[0].astype(opt["ln_b"].dtype)}
+        return (dx, dhtop.astype(htop.dtype), dhbot.astype(hbot.dtype),
+                _float0_zeros(edge), dwqkv, dwdw, dopt)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def sp0_sharded(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
+                num_heads, eps, interpret=False):
+    core = _sp0_core(num_heads, float(eps), ln_w is not None, bool(interpret))
+    opt = {} if ln_w is None else {"ln_w": ln_w, "ln_b": ln_b}
+    return core(x, halo_top, halo_bot, edge, wqkv2, wdw2, opt)
+
+
+@functools.lru_cache(maxsize=None)
+def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
+              has_gate: bool, has_gate_map: bool, has_shortcut: bool,
+              interpret: bool):
+    """custom_vjp core over (x, halo_top, halo_bot, edge, wqkv2, wdw2,
+    comb (B,C,C) f32, opt {ln_w, ln_b, gate, gate_map, shortcut}) -> y."""
+    from mp_hsir_tpu.ops.pallas_attention import _sp1_call
+
+    @jax.custom_vjp
+    def core(x, htop, hbot, edge, wqkv2, wdw2, comb, opt):
+        return _sp1_call(x, htop, hbot, edge, wqkv2, wdw2, comb,
+                         opt.get("ln_w"), opt.get("ln_b"), opt.get("gate"),
+                         opt.get("gate_map"), opt.get("shortcut"),
+                         num_heads=num_heads, eps=eps, residual=residual,
+                         interpret=interpret)
+
+    def fwd(x, htop, hbot, edge, wqkv2, wdw2, comb, opt):
+        return core(x, htop, hbot, edge, wqkv2, wdw2, comb, opt), (
+            x, htop, hbot, edge, wqkv2, wdw2, comb, opt)
+
+    def bwd(res, dy):
+        x, htop, hbot, edge, wqkv2, wdw2, comb, opt = res
+        c = x.shape[-1]
+        dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap = \
+            _sp1_bwd_call(
+                x, htop, hbot, edge, wqkv2, wdw2, comb, dy,
+                opt.get("ln_w"), opt.get("ln_b"), opt.get("gate"),
+                opt.get("gate_map"), num_heads=num_heads, eps=eps,
+                residual=residual, interpret=interpret)
+        dx, dhtop, dhbot = _halo_grads(dx, dtopc, dbotc)
+        z2c = jnp.zeros((c, 2 * c), jnp.float32)
+        dwqkv = jnp.concatenate([z2c, dwv], axis=1).astype(wqkv2.dtype)
+        dwdw = jnp.concatenate([jnp.zeros((9, 2 * c), jnp.float32), dwdwv],
+                               axis=1).astype(wdw2.dtype)
+        dopt = {}
+        if ln:
+            dopt["ln_w"] = dlnw[0].astype(opt["ln_w"].dtype)
+            dopt["ln_b"] = dlnb[0].astype(opt["ln_b"].dtype)
+        if has_gate:
+            dopt["gate"] = dgate.astype(opt["gate"].dtype)
+        if has_gate_map:
+            dopt["gate_map"] = dgmap.astype(opt["gate_map"].dtype)
+        if has_shortcut:
+            dopt["shortcut"] = dy.astype(opt["shortcut"].dtype)
+        return (dx, dhtop.astype(htop.dtype), dhbot.astype(hbot.dtype),
+                _float0_zeros(edge), dwqkv, dwdw, dcomb.astype(comb.dtype),
+                dopt)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def sp1_sharded(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
+                gate, gate_map, shortcut, *, num_heads, eps, residual,
+                interpret=False):
+    core = _sp1_core(num_heads, float(eps), ln_w is not None, bool(residual),
+                     gate is not None, gate_map is not None,
+                     shortcut is not None, bool(interpret))
+    opt = {}
+    if ln_w is not None:
+        opt["ln_w"] = ln_w
+        opt["ln_b"] = ln_b
+    if gate is not None:
+        opt["gate"] = gate
+    if gate_map is not None:
+        opt["gate_map"] = gate_map
+    if shortcut is not None:
+        opt["shortcut"] = shortcut
+    return core(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, opt)

