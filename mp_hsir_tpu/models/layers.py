@@ -289,13 +289,15 @@ class GatedMlpFusedNHWC(nn.Module):
     residual: bool = False  # write x + mlp(ln(x)) in-kernel
 
     @nn.compact
-    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array) -> Array:
+    def __call__(self, x_map: Array, ln_w: Array, ln_b: Array,
+                 dp_scale: Optional[Array] = None) -> Array:
         from mp_hsir_tpu.ops.pallas_attention import fused_ln_gated_mlp_nhwc
 
         w1, b1 = LinearParams(self.hidden * 2, self.dim, name="fc1")()
         w2, b2 = LinearParams(self.dim, self.hidden, name="fc2")()
         return fused_ln_gated_mlp_nhwc(x_map, ln_w, ln_b, w1, b1, w2, b2,
-                                       residual=self.residual)
+                                       residual=self.residual,
+                                       dp_scale=dp_scale)
 
 
 class GDFN(nn.Module):
@@ -361,7 +363,9 @@ class SpectralAttention(nn.Module):
                  gate: Optional[Array] = None,
                  gate_map: Optional[Array] = None,
                  shortcut: Optional[Array] = None,
+                 dp_scale: Optional[Array] = None,
                  shifted: bool = False,
+                 split: bool = False,
                  mlp_params=None, x2: Optional[Array] = None) -> Array:
         """The optional kwargs are Pallas-path fused epilogues (caller must
         only pass them on kernel-eligible shapes/configs):
@@ -393,10 +397,25 @@ class SpectralAttention(nn.Module):
         wout, bout = ConvParams(c, 1, use_bias=self.use_bias, in_features=c, name="project_out")()
 
         if (self.use_pallas and not self.use_bias and not use_tp
+                and self.axis_name is None and h % 8 == 0 and split):
+            # the differentiable TRAINING twin of the eval epilogue kernels:
+            # same sp0/sp1 custom_vjp cores as the sharded path, zero halos,
+            # gate / gate_map / shortcut / per-sample drop-path in-kernel
+            from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_split
+
+            assert mlp_params is None and x2 is None and not shifted
+            _count_path("spectral_pallas_split")
+            return fused_spectral_attention_split(
+                x, wqkv, wdw, temp, wout, self.num_heads,
+                ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
+                gate_map=gate_map, shortcut=shortcut, dp_scale=dp_scale,
+            )
+        if (self.use_pallas and not self.use_bias and not use_tp
                 and self.axis_name is None and h % 8 == 0):
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_nhwc
 
-            assert gate_map is None, "gate_map is a sharded-path epilogue"
+            assert gate_map is None, "gate_map needs the split/sharded path"
+            assert dp_scale is None, "dp_scale needs the split/sharded path"
             _count_path("spectral_pallas")
             return fused_spectral_attention_nhwc(
                 x, wqkv, wdw, temp, wout, self.num_heads,
@@ -412,10 +431,10 @@ class SpectralAttention(nn.Module):
             return fused_spectral_attention_sharded(
                 x, wqkv, wdw, temp, wout, self.num_heads, self.axis_name,
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
-                gate_map=gate_map, shortcut=shortcut,
+                gate_map=gate_map, shortcut=shortcut, dp_scale=dp_scale,
             )
         assert (ln_w is None and gate is None and gate_map is None
-                and shortcut is None
+                and shortcut is None and dp_scale is None
                 and not residual and not shifted and mlp_params is None
                 and x2 is None), (
             "fused epilogue kwargs require the Pallas-eligible configuration")
@@ -1026,16 +1045,13 @@ class PGSSTB(nn.Module):
 
         shortcut = x
         fused = self.use_pallas and ws == 8 and w % 16 == 0
-        # the in-kernel epilogue bakes the residual adds in (a different
-        # program when drop-path is active). The SINGLE-DEVICE epilogue
-        # kernel variants (gate/shortcut/shifted/mlp-tail) are eval-only (no
-        # custom VJP) — gated on `deterministic`; training takes the
-        # explicit composition below where every kernel (window MSA, plain
-        # spectral, gated MLP) is differentiable via ops/pallas_vjp.py. The
-        # SHARDED epilogue (split-phase spectral kernel) IS differentiable
-        # (sp0/sp1 custom_vjp cores) — mesh training runs it whenever
-        # drop-path is inactive (identity at rate 0).
-        dp_identity = deterministic or self.drop_path == 0.0
+        # Routing: single-device EVAL keeps the one-call epilogue kernel
+        # variants (merged phase-0, mlp-tail writeback — raw, no VJP).
+        # TRAINING (single-device or mesh) and mesh eval route through the
+        # differentiable split/sharded spectral cores (sp0/sp1 custom VJPs),
+        # which consume the gate, shortcut and the per-sample drop-path
+        # scales IN-KERNEL — stochastic depth no longer forces the explicit
+        # composition (round-2 VERDICT #1/#2).
 
         if fused:
             # NHWC fused path: LN + window MSA inside one Pallas slab kernel
@@ -1062,16 +1078,23 @@ class PGSSTB(nn.Module):
             # roll back into the unrolled frame with one explicit ppermute
             # roll and index the per-window gates through it as a full-res
             # gate map.
-            sharded_epilogue = (self.axis_name is not None and dp_identity
+            sharded_epilogue = (self.axis_name is not None
                                 and not self.use_bias
                                 and self.spectral_axis is None)
+            # single-device TRAINING epilogue: the split sp0/sp1 custom_vjp
+            # route with gate/shortcut/drop-path folded into the kernels
+            # (the eval-only one-call epilogue variants stay deterministic)
+            train_epilogue = (not deterministic and self.axis_name is None
+                              and not self.use_bias
+                              and self.spectral_axis is None)
             epilogue_ok = (deterministic and _pallas_spectral_epilogue_ok(
                 self.use_bias, self.axis_name, self.spectral_axis)
-            ) or sharded_epilogue
-            # the window kernel's in-kernel roll wraps within the LOCAL map —
-            # only valid single-device; sharded shifted blocks keep the
-            # explicit ppermute roll-in
-            kernel_rolls = shift > 0 and epilogue_ok and self.axis_name is None
+            ) or sharded_epilogue or train_epilogue
+            # the window kernel's in-kernel roll wraps within the LOCAL map
+            # and has no VJP — single-device eval only; sharded/train shifted
+            # blocks keep the explicit roll-in
+            kernel_rolls = (shift > 0 and epilogue_ok and deterministic
+                            and self.axis_name is None)
             xr = (roll_hw(x, -shift, -shift, self.axis_name)
                   if shift > 0 and not kernel_rolls else x)
             # merged window + spectral-phase-0 kernel: the global Gram/norm
@@ -1079,7 +1102,8 @@ class PGSSTB(nn.Module):
             # the window kernel (one slab behind — ops/pallas_attention.py
             # _nhwc_sp0_kernel), so the spectral kernel's separate phase-0
             # read of sa_map never happens
-            merged = (epilogue_ok and not sharded_epilogue and h // 8 >= 2)
+            merged = (epilogue_ok and deterministic and not sharded_epilogue
+                      and h // 8 >= 2)
             sp_w = None
             if merged:
                 sp_wqkv, sp_wdw, sp_temp, sp_wout = SpectralAttentionParams(
@@ -1131,26 +1155,46 @@ class PGSSTB(nn.Module):
                         shifted=shift > 0,
                         mlp=(lnw2, lnb2, w1, b1, w2, b2),
                         precomputed=(sp_gram, sp_nq, sp_nk))
-                if not sharded_epilogue:
+                if deterministic and not sharded_epilogue:
                     _count_path("pgsstb_fused_epilogue")
                     w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
                     return spectral(sa_map, gate=gate, shortcut=shortcut,
                                     shifted=shift > 0,
                                     mlp_params=(lnw2, lnb2, w1, b1, w2, b2))
-                _count_path("pgsstb_fused_sharded_epilogue")
+                # sharded (train or eval) or single-device training: the
+                # split/sharded spectral kernel consumes gate + shortcut +
+                # the per-sample drop-path scales IN-KERNEL (differentiable
+                # custom_vjp cores), and the tail MLP's residual + drop-path
+                # ride its own kernel writeback.
+                _count_path("pgsstb_fused_sharded_epilogue"
+                            if sharded_epilogue else
+                            "pgsstb_fused_train_epilogue")
+                dp1 = dp2 = None
+                if not deterministic and self.drop_path > 0.0:
+                    # draw the per-sample scales through the DropPath module
+                    # on ones — same module name and call order as the
+                    # explicit branch, so the rng stream (and thus the mask
+                    # sequence) is IDENTICAL to the unfused path
+                    dpm = DropPath(self.drop_path, name="drop_path")
+                    ones = jnp.ones((b, 1, 1, 1), jnp.float32)
+                    dp1 = dpm(ones, deterministic).reshape(b)
+                    dp2 = dpm(ones, deterministic).reshape(b)
+                use_split = self.axis_name is None
                 if shift > 0:
                     # back to the unrolled frame (the reference applies the
                     # global spectral attention there) with ONE explicit
-                    # ppermute roll; the per-window gates ride along as a
-                    # rolled full-resolution gate map
+                    # roll (ppermute rows under a mesh); the per-window
+                    # gates ride along as a rolled full-resolution gate map
                     sa_unrolled = roll_hw(sa_map, shift, shift, self.axis_name)
                     gmap = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
                     gmap = roll_hw(gmap, shift, shift, self.axis_name)
-                    x = spectral(sa_unrolled, gate_map=gmap, shortcut=shortcut)
+                    x = spectral(sa_unrolled, gate_map=gmap, shortcut=shortcut,
+                                 dp_scale=dp1, split=use_split)
                 else:
-                    x = spectral(sa_map, gate=gate, shortcut=shortcut)
+                    x = spectral(sa_map, gate=gate, shortcut=shortcut,
+                                 dp_scale=dp1, split=use_split)
                 return GatedMlpFusedNHWC(self.dim, hidden, residual=True,
-                                         name="mlp")(x, lnw2, lnb2)
+                                         name="mlp")(x, lnw2, lnb2, dp2)
             _count_path("pgsstb_fused_explicit")
             gate_map = jnp.repeat(jnp.repeat(gate, ws, axis=1), ws, axis=2)
             x1 = sa_map * gate_map

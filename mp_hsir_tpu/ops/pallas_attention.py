@@ -683,7 +683,11 @@ def _erf(x):
 
 
 def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                out_ref, *, hidden, eps, residual):
+                *rest, hidden, eps, residual, has_dp=False):
+    if has_dp:
+        dp_ref, out_ref = rest
+    else:
+        out_ref, = rest
     _, r8, bw, c = x_ref.shape
     dt = x_ref.dtype
     x = x_ref[0].reshape(r8 * bw, c)
@@ -695,6 +699,11 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     gated = a * (0.5 * g * (1.0 + _erf(g / np.sqrt(2.0))))
     y = jnp.dot(gated.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     y = y.astype(out_ref.dtype).reshape(r8, bw, c)
+    if has_dp:
+        # per-sample drop-path scale on the MLP branch (training); the
+        # residual add below stays unscaled. Full-(B,) SMEM vector, dynamic
+        # per-image read.
+        y = y * dp_ref[pl.program_id(0)].astype(y.dtype)
     if residual:
         # x is already in VMEM: the post-MLP residual add costs zero extra
         # HBM traffic in-kernel (outside it is a 2-read 1-write pass)
@@ -702,8 +711,8 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[0] = y
 
 
-def _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, *, hidden, eps, residual,
-                  interpret):
+def _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale=None, *, hidden,
+                  eps, residual, interpret):
     """Raw forward pallas_call on PRE-PADDED args (hidden lane-aligned);
     weights arrive f32 and are cast to the compute dtype here (inside the
     custom_vjp primal, so weight cotangents stay f32 — see pallas_vjp)."""
@@ -712,24 +721,31 @@ def _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, *, hidden, eps, residual,
     bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
     grid = (b, h // 8, w // bw)
-    kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps, residual=residual)
+    kern = functools.partial(_mlp_kernel, hidden=hidden, eps=eps,
+                             residual=residual, has_dp=dp_scale is not None)
     dt = x.dtype
+    in_specs = [
+        pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32),
+            w2.astype(dt), b2.astype(jnp.float32)]
+    if dp_scale is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(dp_scale.astype(jnp.float32))
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
-    )(x, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32), w2.astype(dt), b2.astype(jnp.float32))
+    )(*args)
 
 
 def fused_ln_gated_mlp_nhwc(
@@ -739,6 +755,7 @@ def fused_ln_gated_mlp_nhwc(
     w2: Array, b2: Array,           # (hidden, C), (C,)
     eps: float = 1e-5,
     residual: bool = False,
+    dp_scale: Optional[Array] = None,  # (B,) per-sample drop-path scale
     interpret: bool = False,
 ) -> Array:
     """LayerNorm + GatedMlp (fc1 -> chunk2 -> fc * gelu(gate) -> fc2) fused
@@ -771,8 +788,9 @@ def fused_ln_gated_mlp_nhwc(
         hidden = hp
     from mp_hsir_tpu.ops.pallas_vjp import mlp_fused
 
-    return mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, hidden=hidden, eps=eps,
-                     residual=residual, interpret=interpret)
+    return mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale=dp_scale,
+                     hidden=hidden, eps=eps, residual=residual,
+                     interpret=interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -1635,12 +1653,13 @@ def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
 
 def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
                 comb_ref, *rest, num_heads, n_slab, ln, eps, residual,
-                has_gate, has_gate_map, has_shortcut):
+                has_gate, has_gate_map, has_shortcut, has_dp):
     _, ws8, w, c = x_mid.shape
     dt = x_mid.dtype
     i = pl.program_id(1)
     n_opt = ((2 if ln else 0) + (1 if has_gate else 0)
-             + (1 if has_gate_map else 0) + (1 if has_shortcut else 0))
+             + (1 if has_gate_map else 0) + (1 if has_shortcut else 0)
+             + (1 if has_dp else 0))
     opt = list(rest[:n_opt])
     out_ref = rest[n_opt]
     lnw_ref = opt.pop(0) if ln else None
@@ -1648,6 +1667,7 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
     gate_ref = opt.pop(0) if has_gate else None
     gmap_ref = opt.pop(0) if has_gate_map else None
     short_ref = opt.pop(0) if has_shortcut else None
+    dp_ref = opt.pop(0) if has_dp else None
 
     x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
                         ln, lnw_ref, lnb_ref, eps, dt, w, c)
@@ -1664,6 +1684,11 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
         # full-resolution per-pixel gate (sharded shifted blocks: the caller
         # rolls the window gates into the unrolled frame explicitly)
         y = x_mid[0] * gmap_ref[0] + y
+    if has_dp:
+        # per-sample drop-path scale on the branch sum (training): the
+        # shortcut add below stays unscaled. dp_ref is the full (B,) SMEM
+        # vector (Mosaic rejects rank-1 sub-128 blocks); index dynamically.
+        y = y * dp_ref[pl.program_id(0)].astype(dt)
     if residual:
         y = x_mid[0] + y
     if has_shortcut:
@@ -1721,8 +1746,8 @@ def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
 
 
 def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
-              gate, gate_map, shortcut, *, num_heads, eps, residual,
-              interpret):
+              gate, gate_map, shortcut, dp_scale, *, num_heads, eps,
+              residual, interpret):
     """Shard-local phase 1: y = dwconv_v(x) @ comb[b] (+ PGSSTB epilogue)."""
     b, h, w, c = x.shape
     n_slab = h // 8
@@ -1750,11 +1775,15 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
     if shortcut is not None:
         in_specs1.append(stream)
         args1.append(shortcut.astype(dt))
+    if dp_scale is not None:
+        in_specs1.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args1.append(dp_scale.astype(jnp.float32))
     k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_slab,
                            ln=ln, eps=eps, residual=residual,
                            has_gate=gate is not None,
                            has_gate_map=gate_map is not None,
-                           has_shortcut=shortcut is not None)
+                           has_shortcut=shortcut is not None,
+                           has_dp=dp_scale is not None)
     return pl.pallas_call(
         k1,
         grid=(b, n_slab),
@@ -1801,6 +1830,7 @@ def fused_spectral_attention_sharded(
     gate: Optional[Array] = None,      # (B, H/8, W/8, C) per-window gates
     gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates
     shortcut: Optional[Array] = None,
+    dp_scale: Optional[Array] = None,  # (B,) per-sample drop-path scale
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
@@ -1814,7 +1844,10 @@ def fused_spectral_attention_sharded(
     (ops/pallas_vjp.py sp0_sharded/sp1_sharded) and every collective
     (ppermute halos, psum'd stats) plus the attention fold lives in this
     traced glue, so JAX transposes the collectives natively — mesh training
-    runs the fused kernel path (round-2 VERDICT #2)."""
+    runs the fused kernel path (round-2 VERDICT #2). ``dp_scale`` applies
+    the per-sample stochastic-depth scale to the branch sum in-kernel
+    (reference net/MP_HSIR.py:718), so drop-path-active training blocks stay
+    on the fused epilogue too."""
     from mp_hsir_tpu.ops.pallas_vjp import sp0_sharded, sp1_sharded
 
     b, h, w, c = x.shape
@@ -1845,7 +1878,54 @@ def fused_spectral_attention_sharded(
 
     return sp1_sharded(
         x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb, ln_w, ln_b,
-        gate, gate_map, shortcut, num_heads=num_heads, eps=eps,
+        gate, gate_map, shortcut, dp_scale, num_heads=num_heads, eps=eps,
+        residual=residual, interpret=interpret)
+
+
+def fused_spectral_attention_split(
+    x: Array,            # (B, H, W, C)
+    wqkv: Array,         # (1, 1, C, 3C)
+    wdw: Array,          # (3, 3, 1, 3C)
+    temperature: Array,  # (nH, 1, 1)
+    wout: Array,         # (1, 1, C, C)
+    num_heads: int,
+    ln_w: Optional[Array] = None,
+    ln_b: Optional[Array] = None,
+    residual: bool = False,
+    gate: Optional[Array] = None,
+    gate_map: Optional[Array] = None,
+    shortcut: Optional[Array] = None,
+    dp_scale: Optional[Array] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """SINGLE-DEVICE differentiable spectral attention with the full PGSSTB
+    epilogue (gate / gate_map / shortcut / per-sample drop-path scale) —
+    the TRAINING twin of the eval-only epilogue variants in
+    fused_spectral_attention_nhwc. Same sp0/sp1 custom_vjp cores as the
+    sharded path, with zero halos + both-true edge flags (the kernels then
+    reproduce the reference's zero padding at the image borders exactly).
+    The round-2 composed-VJP fused-gate route measured NEGATIVE (BENCH_NOTES
+    'fused-gate training route'); this one keeps the gate/shortcut/dp terms
+    INSIDE the hand-written sp1 backward kernel, which was that postmortem's
+    stated precondition for retrying."""
+    from mp_hsir_tpu.ops.pallas_vjp import sp0_sharded, sp1_sharded
+
+    b, h, w, c = x.shape
+    assert h % 8 == 0, h
+    zrow = jnp.zeros((b, 1, w, c), x.dtype)
+    edge = jnp.ones((2,), jnp.int32)
+
+    wqkv2d = wqkv.reshape(c, 3 * c)
+    wdw2d = wdw.reshape(9, 3 * c)
+
+    gram, nq2, nk2 = sp0_sharded(
+        x, zrow, zrow, edge, wqkv2d, wdw2d, ln_w, ln_b,
+        num_heads=num_heads, eps=eps, interpret=interpret)
+    comb = spectral_sharded_fold(gram, nq2, nk2, temperature, wout, num_heads)
+    return sp1_sharded(
+        x, zrow, zrow, edge, wqkv2d, wdw2d, comb, ln_w, ln_b,
+        gate, gate_map, shortcut, dp_scale, num_heads=num_heads, eps=eps,
         residual=residual, interpret=interpret)
 
 

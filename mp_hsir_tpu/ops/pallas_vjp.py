@@ -102,11 +102,19 @@ def _first_step(ndims):
 
 
 def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref,
-                    dlnb_ref, *, hidden, eps, residual):
+                    *rest, hidden, eps, residual, has_dp=False):
+    # with has_dp, rest leads with (b2_ref, dp_ref): b2 is needed to
+    # recompute the pre-scale branch for the exact ds_b
     """Exact VJP of _mlp_kernel: recompute LN/h/gate for this tile, then the
     chain dy -> dgated -> (da, dg) -> dh -> dxn -> LN-bwd -> dx. Weight
-    grads accumulate in f32 output blocks (constant index maps)."""
+    grads accumulate in f32 output blocks (constant index maps). With a
+    drop-path scale the branch cotangent is s_b * dy (the residual add stays
+    unscaled) and ds_b = sum(dy * branch) accumulates per image."""
+    if has_dp:
+        b2_ref, dp_ref = rest[:2]
+        rest = rest[2:]
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref = rest[:7]
+    ddp_ref = rest[7] if has_dp else None
     _, r8, bw, c = x_ref.shape
     dt = x_ref.dtype
     t = r8 * bw
@@ -120,8 +128,14 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
 
+    if has_dp:
+        @pl.when(jnp.logical_and(pl.program_id(1) == 0, pl.program_id(2) == 0))
+        def _():
+            ddp_ref[:] = jnp.zeros_like(ddp_ref)
+
     x = x_ref[0].reshape(t, c)
-    dy = dy_ref[0].reshape(t, c)
+    dy_raw = dy_ref[0].reshape(t, c)
+    dy = dy_raw
     # --- recompute forward intermediates for this tile
     xn_f32, xhat, rstd = _ln_fwd_rows(x, lnw_ref, lnb_ref, eps)
     xn = xn_f32.astype(dt)
@@ -130,6 +144,15 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     g = h[:, hidden:]
     gelu_g = _gelu_f32(g)
     gated = (a * gelu_g).astype(dt)
+
+    if has_dp:
+        # exact ds_b needs the pre-scale branch value: recompute it (the
+        # second fc is one extra MXU dot on already-live operands)
+        branch = jnp.dot(gated, w2_ref[:],
+                         preferred_element_type=jnp.float32) + b2_ref[:]
+        ddp_ref[:] += jnp.sum(dy_raw.astype(jnp.float32) * branch,
+                              axis=0)[None, None, :]
+        dy = (dy_raw.astype(jnp.float32) * dp_ref[pl.program_id(0)]).astype(dt)
 
     # --- backward chain (f32 accumulation, bf16 matmul operands)
     dy2 = dy.astype(dt)
@@ -154,19 +177,19 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dlnb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
     dx = _ln_bwd_rows(dxn, xhat, rstd, lnw_ref)
     if residual:
-        dx = dx + dy.astype(jnp.float32)
+        dx = dx + dy_raw.astype(jnp.float32)
     dx_ref[0] = dx.reshape(r8, bw, c).astype(dx_ref.dtype)
 
 
-def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, *, hidden, eps, residual,
-                  interpret):
+def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, b2=None, dp_scale=None, *,
+                  hidden, eps, residual, interpret):
     b, h, w, c = x.shape
     dt = x.dtype
     cap = 128 if 2 * hidden <= 768 else 64
     bw = w if w <= cap else _pick_chunk(w, cap)
     grid = (b, h // 8, w // bw)
     kern = functools.partial(_mlp_bwd_kernel, hidden=hidden, eps=eps,
-                             residual=residual)
+                             residual=residual, has_dp=dp_scale is not None)
     blk = pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -178,53 +201,97 @@ def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, *, hidden, eps, residual,
             jax.ShapeDtypeStruct(shape, jnp.float32),
         )
 
+    in_specs = [blk, blk, full, full, full, full, full]
+    args = [x, dy, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32),
+            w2.astype(dt)]
+    if dp_scale is not None:
+        in_specs.append(full)
+        args.append(b2.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(dp_scale.astype(jnp.float32))
     specs = [acc((c, 2 * hidden)), acc((1, 2 * hidden)), acc((hidden, c)),
              acc((1, c)), acc((1, c)), acc((1, c))]
+    out_specs = [blk] + [s for s, _ in specs]
+    out_shape = [jax.ShapeDtypeStruct((b, h, w, c), dt)] + [d for _, d in specs]
+    if dp_scale is not None:
+        out_specs.append(pl.BlockSpec((1, 8, c), lambda bi, i, j: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 8, c), jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[blk, blk, full, full, full, full, full],
-        out_specs=[blk] + [s for s, _ in specs],
-        out_shape=[jax.ShapeDtypeStruct((b, h, w, c), dt)] + [d for _, d in specs],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, dy, ln_w, ln_b, w1.astype(dt), b1.astype(jnp.float32), w2.astype(dt))
-    dx, dw1, db1, dw2, db2, dlnw, dlnb = out
-    return dx, dlnw[0], dlnb[0], dw1, db1[0], dw2, db2[0]
+    )(*args)
+    if dp_scale is not None:
+        dx, dw1, db1, dw2, db2, dlnw, dlnb, ddp = out
+        ddp = jnp.sum(ddp[:, 0], axis=-1)
+    else:
+        dx, dw1, db1, dw2, db2, dlnw, dlnb = out
+        ddp = None
+    return dx, dlnw[0], dlnb[0], dw1, db1[0], dw2, db2[0], ddp
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_core(hidden: int, eps: float, residual: bool, interpret: bool):
-    """custom_vjp core over (x, ln_w, ln_b, w1, b1, w2, b2); params f32,
-    pre-padded to the lane-aligned `hidden`."""
+def _mlp_core(hidden: int, eps: float, residual: bool, has_dp: bool,
+              interpret: bool):
+    """custom_vjp core over (x, ln_w, ln_b, w1, b1, w2, b2[, dp]); params
+    f32, pre-padded to the lane-aligned `hidden`."""
     from mp_hsir_tpu.ops.pallas_attention import _mlp_fwd_call
 
-    @jax.custom_vjp
-    def core(x, ln_w, ln_b, w1, b1, w2, b2):
-        return _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, hidden=hidden,
-                             eps=eps, residual=residual, interpret=interpret)
+    if has_dp:
+        @jax.custom_vjp
+        def core(x, ln_w, ln_b, w1, b1, w2, b2, dp):
+            return _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, dp,
+                                 hidden=hidden, eps=eps, residual=residual,
+                                 interpret=interpret)
 
-    def fwd(x, ln_w, ln_b, w1, b1, w2, b2):
-        y = core(x, ln_w, ln_b, w1, b1, w2, b2)
-        return y, (x, ln_w, ln_b, w1, b1, w2)
+        def fwd(x, ln_w, ln_b, w1, b1, w2, b2, dp):
+            y = core(x, ln_w, ln_b, w1, b1, w2, b2, dp)
+            return y, (x, ln_w, ln_b, w1, b1, w2, b2, dp)
 
-    def bwd(res, dy):
-        x, ln_w, ln_b, w1, b1, w2 = res
-        dx, dlnw, dlnb, dw1, db1, dw2, db2 = _mlp_bwd_call(
-            x, dy.astype(x.dtype), ln_w, ln_b, w1, b1, w2,
-            hidden=hidden, eps=eps, residual=residual, interpret=interpret)
-        return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
-                dw1.astype(w1.dtype), db1.astype(b1.dtype),
-                dw2.astype(w2.dtype), db2.astype(b1.dtype))
+        def bwd(res, dy):
+            x, ln_w, ln_b, w1, b1, w2, b2, dp = res
+            dx, dlnw, dlnb, dw1, db1, dw2, db2, ddp = _mlp_bwd_call(
+                x, dy.astype(x.dtype), ln_w, ln_b, w1, b1, w2, b2, dp,
+                hidden=hidden, eps=eps, residual=residual, interpret=interpret)
+            return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
+                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dw2.astype(w2.dtype), db2.astype(b1.dtype),
+                    ddp.astype(dp.dtype))
+    else:
+        @jax.custom_vjp
+        def core(x, ln_w, ln_b, w1, b1, w2, b2):
+            return _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, hidden=hidden,
+                                 eps=eps, residual=residual, interpret=interpret)
+
+        def fwd(x, ln_w, ln_b, w1, b1, w2, b2):
+            y = core(x, ln_w, ln_b, w1, b1, w2, b2)
+            return y, (x, ln_w, ln_b, w1, b1, w2)
+
+        def bwd(res, dy):
+            x, ln_w, ln_b, w1, b1, w2 = res
+            dx, dlnw, dlnb, dw1, db1, dw2, db2, _ = _mlp_bwd_call(
+                x, dy.astype(x.dtype), ln_w, ln_b, w1, b1, w2,
+                hidden=hidden, eps=eps, residual=residual, interpret=interpret)
+            return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
+                    dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                    dw2.astype(w2.dtype), db2.astype(b1.dtype))
 
     core.defvjp(fwd, bwd)
     return core
 
 
-def mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, *, hidden, eps, residual,
-              interpret=False):
-    return _mlp_core(hidden, float(eps), bool(residual), bool(interpret))(
-        x, ln_w, ln_b, w1, b1, w2, b2)
+def mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale=None, *, hidden, eps,
+              residual, interpret=False):
+    core = _mlp_core(hidden, float(eps), bool(residual),
+                     dp_scale is not None, bool(interpret))
+    if dp_scale is not None:
+        return core(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale)
+    return core(x, ln_w, ln_b, w1, b1, w2, b2)
 
 
 # ---------------------------------------------------------------------------
@@ -1214,14 +1281,18 @@ def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
 
 def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
                     wdwv_ref, comb_ref, dy_ref, *rest, num_heads, n_slab,
-                    ln, eps, residual, has_gate, has_gate_map):
+                    ln, eps, residual, has_gate, has_gate_map, has_dp):
     """VJP of _sp1_kernel: dv = dy @ comb^T back through the v taps; dcomb
     partials accumulate per image; gate/residual epilogue cotangents attach
-    directly to x_mid."""
+    directly to x_mid. With a drop-path scale, every branch cotangent is
+    s_b * dy (the residual/shortcut adds stay unscaled) and the exact
+    ds_b = sum(dy * branch) is accumulated per image (one extra v@comb
+    dot per slab)."""
     _, ws8, w, c = x_mid.shape
     dt = x_mid.dtype
     i = pl.program_id(1)
-    n_opt = (2 if ln else 0) + (1 if has_gate else 0) + (1 if has_gate_map else 0)
+    n_opt = ((2 if ln else 0) + (1 if has_gate else 0)
+             + (1 if has_gate_map else 0) + (1 if has_dp else 0))
     opt = list(rest[:n_opt])
     k = n_opt
     dx_ref, dtop_ref, dbot_ref, dwv_ref, dwdwv_ref, dcomb_ref = rest[k : k + 6]
@@ -1234,11 +1305,14 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     dgate_ref = rest[k] if has_gate else None
     k += 1 if has_gate else 0
     dgmap_ref = rest[k] if has_gate_map else None
+    k += 1 if has_gate_map else 0
+    ddp_ref = rest[k] if has_dp else None
     dtp_scr = rest[-1]
     lnw_ref = opt.pop(0) if ln else None
     lnb_ref = opt.pop(0) if ln else None
     gate_ref = opt.pop(0) if has_gate else None
     gmap_ref = opt.pop(0) if has_gate_map else None
+    dp_ref = opt.pop(0) if has_dp else None
 
     @pl.when(_first_step(2))
     def _():
@@ -1251,12 +1325,17 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     @pl.when(i == 0)
     def _():
         dcomb_ref[:] = jnp.zeros_like(dcomb_ref)
+        if has_dp:
+            ddp_ref[:] = jnp.zeros_like(ddp_ref)
 
     x10, xhat, rstd, top_edge, bot_edge = _sp_build_x10_bwd(
         x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab, ln, lnw_ref,
         lnb_ref, eps, dt, w, c)
     tp, v = _sp_taps_fwd(x10, wv_ref, wdwv_ref, dt, w, c, c)
-    dy2 = dy_ref[0].reshape(ws8 * w, c)
+    dyb = dy_ref[0]
+    if has_dp:
+        dyb = (dyb.astype(jnp.float32) * dp_ref[pl.program_id(0)]).astype(dt)
+    dy2 = dyb.reshape(ws8 * w, c)
     dcomb_ref[0] += jax.lax.dot_general(
         v, dy2.astype(dt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -1268,7 +1347,12 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     dx_mid, dtop_row, dbot_row = _sp_rows_out(
         dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref, dlnw_ref,
         dlnb_ref, w, c)
-    dy3 = dy_ref[0].astype(jnp.float32)
+    dy3 = dyb.astype(jnp.float32)
+    branch = None
+    if has_dp:
+        # exact ds_b: the pre-scale branch value, recomputed (v@comb + gate)
+        branch = jnp.dot(v, comb_ref[0].astype(dt),
+                         preferred_element_type=jnp.float32).reshape(ws8, w, c)
     if has_gate:
         from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
 
@@ -1281,11 +1365,21 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
         dgate_ref[0, 0] = jax.lax.dot_general(
             emat, dgb, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dgate_ref.dtype)
+        if has_dp:
+            branch = branch + (x_mid[0].astype(jnp.float32)
+                               * gb[None].astype(jnp.float32)
+                               ).astype(branch.dtype)
     if has_gate_map:
         dx_mid = dx_mid + dy3 * gmap_ref[0].astype(jnp.float32)
         dgmap_ref[0] = (dy3 * x_mid[0].astype(jnp.float32)).astype(dgmap_ref.dtype)
+        if has_dp:
+            branch = branch + (x_mid[0] * gmap_ref[0]).astype(jnp.float32)
+    if has_dp:
+        ddp_ref[:] += jnp.sum(dy_ref[0].astype(jnp.float32)
+                              * branch.astype(jnp.float32),
+                              axis=(0, 1))[None, None, :]
     if residual:
-        dx_mid = dx_mid + dy3
+        dx_mid = dx_mid + dy_ref[0].astype(jnp.float32)
     dx_ref[0] = dx_mid.astype(dx_ref.dtype)
     dtop_ref[0, 0] = dtop_row[0].astype(dtop_ref.dtype)
     dbot_ref[0, 0] = dbot_row[0].astype(dbot_ref.dtype)
@@ -1363,7 +1457,8 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
 
 
 def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
-                  gate, gate_map, *, num_heads, eps, residual, interpret):
+                  gate, gate_map, dp_scale, *, num_heads, eps, residual,
+                  interpret):
     b, h, w, c = x.shape
     dt = x.dtype
     n_slab = h // 8
@@ -1390,6 +1485,9 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     if gate_map is not None:
         in_specs.append(stream)
         args.append(gate_map.astype(dt))
+    if dp_scale is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(dp_scale.astype(jnp.float32))
     wacc = [_acc_spec((c, c)), _acc_spec((9, c))]
     out_specs = [stream, rows_out, rows_out] + [s for s, _ in wacc] + [comb_spec]
     out_shape = [
@@ -1406,10 +1504,17 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     if gate_map is not None:
         out_specs.append(stream)
         out_shape.append(jax.ShapeDtypeStruct((b, h, w, c), dt))
+    if dp_scale is not None:
+        # (1, C) blocks violate the 8-sublane rule; use (1, 8, C) with the
+        # partial broadcast into all 8 rows (outside: row 0, lane-sum)
+        out_specs.append(pl.BlockSpec((1, 8, c), lambda bi, i: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, 8, c), jnp.float32))
     kern = functools.partial(_sp1_bwd_kernel, num_heads=num_heads,
                              n_slab=n_slab, ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
-                             has_gate_map=gate_map is not None)
+                             has_gate_map=gate_map is not None,
+                             has_dp=dp_scale is not None)
     out = list(pl.pallas_call(
         kern,
         grid=(b, n_slab),
@@ -1422,7 +1527,7 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     )(*args))
     dx, dtopc, dbotc, dwv, dwdwv, dcomb = out[:6]
     rest = out[6:]
-    dlnw = dlnb = dgate = dgmap = None
+    dlnw = dlnb = dgate = dgmap = ddp = None
     if ln:
         dlnw, dlnb = rest[:2]
         rest = rest[2:]
@@ -1430,7 +1535,9 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
         dgate = rest.pop(0)
     if gate_map is not None:
         dgmap = rest.pop(0)
-    return dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap
+    if dp_scale is not None:
+        ddp = jnp.sum(rest.pop(0)[:, 0], axis=-1)  # (B, 8, C) -> (B,)
+    return dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap, ddp
 
 
 def _halo_grads(dx, dtopc, dbotc):
@@ -1493,9 +1600,9 @@ def sp0_sharded(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
 @functools.lru_cache(maxsize=None)
 def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
               has_gate: bool, has_gate_map: bool, has_shortcut: bool,
-              interpret: bool):
+              has_dp: bool, interpret: bool):
     """custom_vjp core over (x, halo_top, halo_bot, edge, wqkv2, wdw2,
-    comb (B,C,C) f32, opt {ln_w, ln_b, gate, gate_map, shortcut}) -> y."""
+    comb (B,C,C) f32, opt {ln_w, ln_b, gate, gate_map, shortcut, dp}) -> y."""
     from mp_hsir_tpu.ops.pallas_attention import _sp1_call
 
     @jax.custom_vjp
@@ -1503,6 +1610,7 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
         return _sp1_call(x, htop, hbot, edge, wqkv2, wdw2, comb,
                          opt.get("ln_w"), opt.get("ln_b"), opt.get("gate"),
                          opt.get("gate_map"), opt.get("shortcut"),
+                         opt.get("dp"),
                          num_heads=num_heads, eps=eps, residual=residual,
                          interpret=interpret)
 
@@ -1513,12 +1621,12 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
     def bwd(res, dy):
         x, htop, hbot, edge, wqkv2, wdw2, comb, opt = res
         c = x.shape[-1]
-        dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap = \
+        dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap, ddp = \
             _sp1_bwd_call(
                 x, htop, hbot, edge, wqkv2, wdw2, comb, dy,
                 opt.get("ln_w"), opt.get("ln_b"), opt.get("gate"),
-                opt.get("gate_map"), num_heads=num_heads, eps=eps,
-                residual=residual, interpret=interpret)
+                opt.get("gate_map"), opt.get("dp"), num_heads=num_heads,
+                eps=eps, residual=residual, interpret=interpret)
         dx, dhtop, dhbot = _halo_grads(dx, dtopc, dbotc)
         z2c = jnp.zeros((c, 2 * c), jnp.float32)
         dwqkv = jnp.concatenate([z2c, dwv], axis=1).astype(wqkv2.dtype)
@@ -1534,6 +1642,8 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
             dopt["gate_map"] = dgmap.astype(opt["gate_map"].dtype)
         if has_shortcut:
             dopt["shortcut"] = dy.astype(opt["shortcut"].dtype)
+        if has_dp:
+            dopt["dp"] = ddp.astype(opt["dp"].dtype)
         return (dx, dhtop.astype(htop.dtype), dhbot.astype(hbot.dtype),
                 _float0_zeros(edge), dwqkv, dwdw, dcomb.astype(comb.dtype),
                 dopt)
@@ -1543,11 +1653,12 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
 
 
 def sp1_sharded(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
-                gate, gate_map, shortcut, *, num_heads, eps, residual,
-                interpret=False):
+                gate, gate_map, shortcut, dp_scale=None, *, num_heads, eps,
+                residual, interpret=False):
     core = _sp1_core(num_heads, float(eps), ln_w is not None, bool(residual),
                      gate is not None, gate_map is not None,
-                     shortcut is not None, bool(interpret))
+                     shortcut is not None, dp_scale is not None,
+                     bool(interpret))
     opt = {}
     if ln_w is not None:
         opt["ln_w"] = ln_w
@@ -1558,4 +1669,6 @@ def sp1_sharded(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
         opt["gate_map"] = gate_map
     if shortcut is not None:
         opt["shortcut"] = shortcut
+    if dp_scale is not None:
+        opt["dp"] = dp_scale
     return core(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, opt)

@@ -219,7 +219,7 @@ def _interp_kernels(monkeypatch):
 
     for name in ("fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
                  "fused_ln_gated_mlp_nhwc", "fused_ln_gdfn_nhwc",
-                 "fused_conv3x3_nhwc"):
+                 "fused_conv3x3_nhwc", "fused_spectral_attention_split"):
         orig = getattr(PA, name)
 
         def interp(*a, _orig=orig, **kw):
@@ -395,4 +395,51 @@ def test_sharded_pgsstb_train_grad_parity(shifted, monkeypatch):
             rtol=2e-3, err_msg=jax.tree_util.keystr(path))
     scale = max(1.0, float(jnp.max(jnp.abs(want_gx))))
     np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=5e-4 * scale, rtol=2e-3, err_msg="dx")
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_pgsstb_droppath_grad_parity(shifted, monkeypatch):
+    """drop_path > 0 TRAINING on the fused path: the split-epilogue route
+    consumes the per-sample stochastic-depth scales IN-KERNEL (sp1 + MLP
+    kernels, exact ds cotangents) and must match the jnp path bit-for-mask:
+    both draw the masks through the same DropPath module in the same order,
+    so with identical rngs the values AND grads agree."""
+    from mp_hsir_tpu.models import layers as L
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    _interp_kernels(monkeypatch)
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((4, 16, 16, dim)) * 0.5, jnp.float32)
+    rngs = {"droppath": jax.random.key(42)}
+
+    def block(use_pallas):
+        return PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                      shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                      compress_ratio=4, prompt_len=8, drop_path=0.4,
+                      input_resolution=(64, 64), use_pallas=use_pallas)
+
+    params = block(False).init(jax.random.key(0), x, True)["params"]
+
+    def loss(use_pallas):
+        def f(p, xx):
+            y = block(use_pallas).apply({"params": p}, xx, False, rngs=rngs)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+        return f
+
+    L.reset_fused_path_stats()
+    v_r, g_r = jax.value_and_grad(loss(False), argnums=(0, 1))(params, x)
+    v_f, g_f = jax.value_and_grad(loss(True), argnums=(0, 1))(params, x)
+    # the fused path must have routed through the train epilogue
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_train_epilogue", 0) > 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_explicit", 0) == 0
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=2e-4)
+    for (path, gr), gf in zip(jax.tree_util.tree_leaves_with_path(g_r[0]),
+                              jax.tree_util.tree_leaves(g_f[0])):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=5e-4 * scale, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+    scale = max(1.0, float(jnp.max(jnp.abs(g_r[1]))))
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_r[1]),
                                atol=5e-4 * scale, rtol=2e-3, err_msg="dx")
