@@ -116,13 +116,20 @@ def bench_train() -> None:
         step_x = make_train_step(mc_x, mesh)
         flops = _flops_of(step_x, state, batch_d, rng)
 
+    # BENCH_PACE=K: force the pacing scalar readback every K steps instead
+    # of every step. The tunnel needs SOME pacing (un-synced heavy
+    # multi-output dispatch queues degrade ~30x, BENCH_NOTES.md) but the
+    # per-step float(loss) costs a ~30 ms RPC round trip, which at
+    # ~190 ms/step is a measurable tax; K=2-4 amortizes it.
+    pace = int(os.environ.get("BENCH_PACE", "1"))
     for i in range(2):  # compile + the one-time second-step relayout cost
         state, loss = step(state, batch_d, jax.random.fold_in(rng, 1000 + i))
         float(loss)
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, loss = step(state, batch_d, jax.random.fold_in(rng, i))
-        float(loss)  # per-step scalar readback paces the tunnel
+        if (i + 1) % pace == 0 or i == n_steps - 1:
+            float(loss)  # pacing scalar readback (see BENCH_PACE above)
     dt = time.perf_counter() - t0
     _emit(
         f"train step throughput (batch {batch}, {patch}x{patch}x{mc.in_channels}, "
