@@ -116,12 +116,14 @@ def bench_train() -> None:
         step_x = make_train_step(mc_x, mesh)
         flops = _flops_of(step_x, state, batch_d, rng)
 
-    # BENCH_PACE=K: force the pacing scalar readback every K steps instead
-    # of every step. The tunnel needs SOME pacing (un-synced heavy
-    # multi-output dispatch queues degrade ~30x, BENCH_NOTES.md) but the
-    # per-step float(loss) costs a ~30 ms RPC round trip, which at
-    # ~190 ms/step is a measurable tax; K=2-4 amortizes it.
-    pace = int(os.environ.get("BENCH_PACE", "1"))
+    # BENCH_PACE=K: pacing scalar readback every K steps. The tunnel needs
+    # SOME pacing (un-synced heavy multi-output dispatch queues degrade
+    # ~30x, BENCH_NOTES.md) but a per-step float(loss) is a ~30-40 ms RPC
+    # round trip serialized with each dispatch. Measured sweep (round 3):
+    # K=1 5.29, K=2 6.09, K=4 6.61, K=8 6.87, K=16 7.03 steps/s — no
+    # queueing cliff through 16. Default 8 matches the real trainer, which
+    # tracks the step counter host-side and reads the loss every log_every.
+    pace = int(os.environ.get("BENCH_PACE", "8"))
     for i in range(2):  # compile + the one-time second-step relayout cost
         state, loss = step(state, batch_d, jax.random.fold_in(rng, 1000 + i))
         float(loss)

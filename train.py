@@ -131,14 +131,20 @@ def main(argv=None):
 
     t0 = time.time()
     base_rng = jax.random.key(args.seed + 1)
+    # host-side step counter, synced with the device state ONCE here (and
+    # implicitly on resume via the restored state). Reading int(state.step)
+    # per step forces a device scalar readback, which on a tunneled chip is
+    # a ~30 ms RPC serialized with every dispatch — measured 5.3 -> 7.0
+    # steps/s from removing it (BENCH_NOTES.md round-3 pacing sweep).
+    gstep = int(state.step)
     with open(log_path, "a") as logf:
         for epoch in range(args.epochs):
             losses = []
             for batch in pipeline.epoch(epoch, steps=steps_per_epoch):
-                rng = jax.random.fold_in(base_rng, int(state.step))
+                rng = jax.random.fold_in(base_rng, gstep)
                 state, loss = step_fn(state, batch, rng)
                 losses.append(loss)
-                gstep = int(state.step)
+                gstep += 1
                 if gstep % args.log_every == 0:
                     lv = float(loss)
                     rec = {"step": gstep, "epoch": epoch, "train_loss": lv,
