@@ -86,7 +86,8 @@ def bench_train() -> None:
     import jax
     import jax.numpy as jnp
 
-    from mp_hsir_tpu.config import TrainConfig, natural_scene_config
+    from mp_hsir_tpu.config import (TrainConfig, natural_scene_config,
+                                    remote_sensing_config)
     from mp_hsir_tpu.parallel.mesh import make_mesh
     from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
 
@@ -94,8 +95,11 @@ def bench_train() -> None:
     patch = int(os.environ.get("BENCH_SIZE", "64"))
     n_steps = int(os.environ.get("BENCH_ITERS", "20"))
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    mc = natural_scene_config(compute_dtype="bfloat16",
-                              use_pallas_attention=use_pallas)
+    # BENCH_RS=1: train-throughput at the remote-sensing preset (dim 96,
+    # 100 bands — reference train.py:45), same 64^2-patch regime
+    preset = (remote_sensing_config if os.environ.get("BENCH_RS", "0") == "1"
+              else natural_scene_config)
+    mc = preset(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
     tc = TrainConfig(epochs=10, steps_per_epoch=100, batch_size=batch,
                      patch_size=patch)
     mesh = make_mesh(data=1, spatial=1)
