@@ -143,6 +143,106 @@ def bench_train() -> None:
         n_steps / dt, "steps/sec", REFERENCE_A100_TRAIN_STEPS_PER_SEC, flops)
 
 
+def bench_train_e2e() -> None:
+    """END-TO-END training throughput: the REAL input pipeline (patch store
+    on disk -> host gather -> async device_put -> on-device degradation ->
+    train step), not a device-resident synthetic batch. This is the number
+    that corresponds to the reference's hot loop (train.py:106,120 with its
+    DataLoader workers). Gap vs BENCH_TRAIN=1 = input-pipeline cost that
+    failed to overlap.
+
+    Knobs: BENCH_UPLOAD=float16 uploads clean patches in 16-bit (halves
+    host->device bytes; widened to f32 on device); BENCH_PREFETCH=N producer
+    look-ahead (default 2)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from mp_hsir_tpu.config import (TrainConfig, natural_scene_config,
+                                    remote_sensing_config)
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+    from mp_hsir_tpu.parallel.mesh import make_mesh
+    from mp_hsir_tpu.training.trainer import create_train_state, make_train_step
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    patch = int(os.environ.get("BENCH_SIZE", "64"))
+    n_steps = int(os.environ.get("BENCH_ITERS", "20"))
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    upload_dtype = os.environ.get("BENCH_UPLOAD", "float32")
+    prefetch = int(os.environ.get("BENCH_PREFETCH", "2"))
+    rs = os.environ.get("BENCH_RS", "0") == "1"
+    preset = remote_sensing_config if rs else natural_scene_config
+    mc = preset(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
+    bands = mc.in_channels
+
+    # synthetic patch store on disk, stored at the target band count (the
+    # real builders already resample to 31/100 bands at build time); large
+    # enough that consecutive steps gather distinct patches
+    n_patches = max(4 * batch, 128)
+    src = "ICVL" if not rs else "Chikusei"
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    rng = np.random.default_rng(0)
+    with PatchStoreWriter(os.path.join(tmp, "store")) as w:
+        for i in range(n_patches):
+            w.add(rng.random((bands, patch, patch), np.float32), f"{src}_{i:04d}")
+    store = PatchStore(os.path.join(tmp, "store"), dataset_names=None)
+
+    tc = TrainConfig(epochs=1, steps_per_epoch=n_steps + 4, batch_size=batch,
+                     patch_size=patch,
+                     data_type="remote_sensing" if rs else "natural_scene")
+    # haze needs a cirrus bank; drop it for the synthetic-store bench
+    if rs:
+        import dataclasses
+        tc = dataclasses.replace(
+            tc, de_types=("gaussianN", "complexN", "blur", "sr", "inpaint",
+                          "bandmiss"))
+    mesh = make_mesh(data=1, spatial=1)
+    state = create_train_state(mc, tc, jax.random.key(0))
+    step = make_train_step(mc, mesh)
+    pipe = TrainPipeline(store, tc, target_bands=None, prefetch=prefetch,
+                         upload_dtype=upload_dtype)
+
+    flops = 0.0
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        import jax.numpy as jnp
+
+        mc_x = preset(compute_dtype="bfloat16", use_pallas_attention=False)
+        step_x = make_train_step(mc_x, mesh)
+        clean = jax.random.uniform(jax.random.key(2), (batch, bands, patch, patch))
+        batch_d = {"degraded": jnp.clip(clean + 0.1, 0, 1), "clean": clean,
+                   "task_id": jnp.zeros((batch,), jnp.int32)}
+        flops = _flops_of(step_x, state, batch_d, jax.random.key(1))
+
+    bytes_per_step = batch * bands * patch * patch * np.dtype(upload_dtype).itemsize
+    pace = int(os.environ.get("BENCH_PACE", "8"))
+    base_rng = jax.random.key(1)
+    t0 = None
+    i = 0
+    for b in pipe.epoch(0, steps=n_steps + 4):
+        rng_s = jax.random.fold_in(base_rng, i)
+        state, loss = step(state, b, rng_s)
+        if i < 2:
+            float(loss)  # compile + one-time second-step relayout cost
+        elif i == 2:
+            float(loss)
+            t0 = time.perf_counter()
+        elif (i - 2) % pace == 0:
+            float(loss)  # pacing scalar readback (see BENCH_PACE in bench_train)
+        i += 1
+    float(loss)  # force completion of the final step before stopping the clock
+    dt = time.perf_counter() - t0
+    timed = n_steps + 1  # steps 3 .. n_steps+4 land inside the clock
+    print(f"[e2e] upload={upload_dtype} ({bytes_per_step / 1e6:.1f} MB/step), "
+          f"prefetch={prefetch}, {timed} timed steps, {dt / timed * 1e3:.1f} ms/step",
+          file=sys.stderr)
+    _emit(
+        f"e2e train throughput (patch store->host->device->degrade->step, "
+        f"batch {batch}, {patch}x{patch}x{bands}, upload {upload_dtype})",
+        timed / dt, "steps/sec", REFERENCE_A100_TRAIN_STEPS_PER_SEC, flops)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -152,6 +252,9 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    if os.environ.get("BENCH_TRAIN_E2E", "0") == "1":
+        bench_train_e2e()
+        return
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         bench_train()
         return

@@ -125,6 +125,10 @@ def _make_eval_step(fwd, mode: int, save_images: bool):
 
     @jax.jit
     def step(params, degraded, clean, tid):
+        # 16-bit uploads (cfg.upload_dtype) are widened back to f32 HERE, on
+        # device — the cast is free relative to the halved link bytes
+        degraded = degraded.astype(jnp.float32)
+        clean = clean.astype(jnp.float32)
         restored = fwd(params, degraded, tid)
         psnr_b, ssim_b = _psnr_ssim_jit(restored, jnp.clip(clean, 0.0, 1.0))
         sam_v = jnp.mean(_sam_jit(restored, clean))
@@ -142,8 +146,12 @@ def _make_eval_step(fwd, mode: int, save_images: bool):
             p = jnp.mean(psnr_b)
             s = jnp.mean(ssim_b)
             count = jnp.asarray(psnr_b.shape[0])
-        out = (p, s, count, sam_v)
-        return out + (restored,) if save_images else out
+        # ONE stacked f32 vector instead of 4 scalars: the consumer's
+        # readback is a single RPC per cube on a tunneled device (counts are
+        # tiny ints — exact in f32)
+        out = jnp.stack([jnp.float32(p), jnp.float32(s),
+                         count.astype(jnp.float32), jnp.float32(sam_v)])
+        return (out, restored) if save_images else (out,)
 
     return step
 
@@ -187,10 +195,20 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
         except BaseException as e:  # noqa: BLE001 — re-raised in the consumer
             q.put(_StageError(e))
 
+    if cfg.upload_dtype == "bfloat16":
+        import ml_dtypes  # ships with jax
+
+        up_dt = np.dtype(ml_dtypes.bfloat16)
+    else:
+        up_dt = np.dtype(cfg.upload_dtype)
+
     def uploader():
         # stage 2: host->device transfer (the dominant per-cube cost on a
-        # tunneled device: ~67 MB f32 per 512^2x31 cube) overlaps stage 1's
-        # numpy work and the device compute of cubes already in flight
+        # tunneled device: ~67 MB f32 per 512^2x31 cube, and the
+        # degraded+clean PAIR crosses per cube) overlaps stage 1's numpy
+        # work and the device compute of cubes already in flight. 16-bit
+        # upload_dtype halves the bytes; the eval step widens to f32 on
+        # device (cast-on-device, measured PSNR delta in BENCH_NOTES.md).
         try:
             while True:
                 item = q.get()
@@ -201,6 +219,9 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
                 clean = item["clean"][None]
                 host = (clean, degraded) if cfg.save_images else (None, None)
                 tid = task_router(degraded) if task_router is not None else task_id
+                if up_dt != np.float32:
+                    degraded = degraded.astype(up_dt)
+                    clean = clean.astype(up_dt)
                 qd.put((item["name"], host[0], host[1],
                         jax.device_put(degraded), jax.device_put(clean),
                         jnp.asarray([tid])))
@@ -220,8 +241,8 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
     def drain_one():
         nonlocal wall, save_secs
         name, clean_np, degraded_np, outs = inflight.popleft()
-        vals = [np.asarray(v) for v in outs[:4]]
-        p, s, count, sam_v = float(vals[0]), float(vals[1]), int(vals[2]), float(vals[3])
+        vals = np.asarray(outs[0])  # one (4,) readback per cube
+        p, s, count, sam_v = float(vals[0]), float(vals[1]), int(round(float(vals[2]))), float(vals[3])
         if count > 0:
             psnr.update(p / count if mode == 10 else p, count)
             ssim.update(s / count if mode == 10 else s, count)
@@ -232,7 +253,7 @@ def _run_mode_pipelined(cfg: EvalConfig, params, fwd,
             # the pipeline still pays the stall, so prefer --no_save_images
             # for throughput runs
             t_sv = time.perf_counter()
-            rest_np = np.asarray(outs[4])
+            rest_np = np.asarray(outs[1])
             save_false_color(clean_np, cfg.select_bands, os.path.join(out_dir, f"origin_{name}.png"))
             save_false_color(degraded_np, cfg.select_bands, os.path.join(out_dir, f"degraded_{name}.png"))
             save_false_color(np.clip(rest_np, 0, 1), cfg.select_bands, os.path.join(out_dir, f"restored_{name}.png"))
@@ -378,6 +399,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serving-style streaming eval: keep N fused "
                         "forward+metrics dispatches in flight with a host "
                         "prefetch thread (1 = reference-style synchronous loop)")
+    p.add_argument("--upload_dtype", type=str, default="float16",
+                   choices=["float32", "float16", "bfloat16"],
+                   help="host->device dtype for streamed cubes in the "
+                        "pipelined path (16-bit halves upload bytes; cubes "
+                        "are widened to f32 on device — measured PSNR delta "
+                        "in BENCH_NOTES.md). The synchronous loop always "
+                        "uploads f32.")
     return p
 
 
@@ -398,7 +426,7 @@ def main(argv=None) -> None:
         bandmis_ratio=args.bandmis_ratio, degrad_id=args.degrad_id,
         select_bands=tuple(args.select_bands), output_path=args.output_path,
         ckpt_path=args.ckpt_path, save_images=not args.no_save_images,
-        pipeline=args.pipeline,
+        pipeline=args.pipeline, upload_dtype=args.upload_dtype,
     )
     model_cfg = natural_scene_config() if args.data_type == "natural_scene" else remote_sensing_config()
     import dataclasses

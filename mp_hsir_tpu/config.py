@@ -141,3 +141,11 @@ class EvalConfig:
     # synchronous loop. No reference equivalent (torch eager has no
     # dispatch pipeline to amortize).
     pipeline: int = 1
+    # host->device transfer dtype for the eval cubes ("float32", "float16",
+    # "bfloat16"): 16-bit halves the per-cube upload bytes — decisive on
+    # link-constrained hosts (a 512^2x31 cube is 67 MB in f32, and the
+    # degraded+clean pair crosses per cube). Cubes are widened back to f32
+    # on device before the forward/metrics. Measured PSNR delta on the
+    # tunneled v5e: see BENCH_NOTES.md (f16 quantization of [0,1] data is
+    # ~5e-4 absolute, orders below restoration error).
+    upload_dtype: str = "float32"

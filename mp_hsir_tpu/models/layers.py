@@ -433,6 +433,34 @@ class SpectralAttention(nn.Module):
                 ln_w=ln_w, ln_b=ln_b, residual=residual, gate=gate,
                 gate_map=gate_map, shortcut=shortcut, dp_scale=dp_scale,
             )
+        if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
+                and use_tp and h % 8 == 0 and ln_w is None and gate is None
+                and gate_map is None and shortcut is None and dp_scale is None
+                and not residual and not shifted and mlp_params is None
+                and x2 is None):
+            # spectral TP on the fused sp0/sp1 kernels (round-3 VERDICT #5):
+            # slice this member's head block with the SAME tp_slice custom
+            # VJP as the jnp path (weight cotangents psum over the axis),
+            # run the custom-vjp cores on the local slices, psum the partial
+            # projections over `spectral`. Composes with spatial sharding.
+            from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_tp
+
+            heads_l = self.num_heads // n_sp
+            cl = heads_l * dh
+            idx = jax.lax.axis_index(sp)
+
+            def slice_qkv_tp(t, axis):
+                parts = [tp_slice(t, s * c + idx * cl, cl, axis, sp)
+                         for s in range(3)]
+                return jnp.concatenate(parts, axis=axis)
+
+            _count_path("spectral_pallas_tp")
+            return fused_spectral_attention_tp(
+                x, slice_qkv_tp(wqkv, 3), slice_qkv_tp(wdw, 3),
+                tp_slice(temp, idx * heads_l, heads_l, 0, sp),
+                tp_slice(wout.reshape(c, c), idx * cl, cl, 0, sp),
+                heads_l, sp, spatial_axis=self.axis_name,
+            )
         assert (ln_w is None and gate is None and gate_map is None
                 and shortcut is None and dp_scale is None
                 and not residual and not shifted and mlp_params is None

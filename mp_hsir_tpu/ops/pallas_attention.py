@@ -698,12 +698,14 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # erf GELU in f32 (matches ops/basic.gelu_exact to ~1e-7)
     gated = a * (0.5 * g * (1.0 + _erf(g / np.sqrt(2.0))))
     y = jnp.dot(gated.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    y = y.astype(out_ref.dtype).reshape(r8, bw, c)
     if has_dp:
         # per-sample drop-path scale on the MLP branch (training); the
         # residual add below stays unscaled. Full-(B,) SMEM vector, dynamic
-        # per-image read.
-        y = y * dp_ref[pl.program_id(0)].astype(y.dtype)
+        # per-image read. Scaled on the f32 accumulator BEFORE the dtype
+        # cast so the custom VJP (which scales dy in f32) is the exact
+        # transpose under bf16 compute.
+        y = y * dp_ref[pl.program_id(0)]
+    y = y.astype(out_ref.dtype).reshape(r8, bw, c)
     if residual:
         # x is already in VMEM: the post-MLP residual add costs zero extra
         # HBM traffic in-kernel (outside it is a 2-read 1-write pass)
@@ -1622,7 +1624,11 @@ def _sp_qkv_slab(x10, wqkv_ref, wdw_ref, lane_lo, lane_hi, dt, w, c):
 def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
                 *rest, num_heads, n_slab, ln, eps):
     _, ws8, w, c = x_mid.shape
-    dh = c // num_heads
+    # local q/k/v section width from the WEIGHT shape, not the input width:
+    # under spectral TP the member holds only its head block (cl = c/n_sp)
+    # while the input keeps all C channels
+    cl = wqkv_ref.shape[1] // 3
+    dh = cl // num_heads
     dt = x_mid.dtype
     i = pl.program_id(1)
     opt = list(rest[: 2 if ln else 0])
@@ -1639,9 +1645,9 @@ def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
 
     x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
                         ln, lnw_ref, lnb_ref, eps, dt, w, c)
-    qk = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 0, 2 * c, dt, w, c)
-    q = qk[:, :c]
-    k = qk[:, c:]
+    qk = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 0, 2 * cl, dt, w, c)
+    q = qk[:, :cl]
+    k = qk[:, cl:]
     for h in range(num_heads):
         qh = q[:, h * dh : (h + 1) * dh]
         kh = k[:, h * dh : (h + 1) * dh]
@@ -1671,24 +1677,34 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
 
     x10 = _sp_build_x10(x_top, x_mid, x_bot, htop, hbot, edge, i, n_slab,
                         ln, lnw_ref, lnb_ref, eps, dt, w, c)
-    v = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 2 * c, 3 * c, dt, w, c)
+    # local v width from the weight shape (spectral TP: cl = c/n_sp; comb is
+    # then (cl, c) and y the member's PARTIAL projection, psum'd outside)
+    cl = wqkv_ref.shape[1] // 3
+    v = _sp_qkv_slab(x10, wqkv_ref, wdw_ref, 2 * cl, 3 * cl, dt, w, c)
     y = jnp.dot(v, comb_ref[0].astype(dt), preferred_element_type=jnp.float32)
-    y = y.reshape(ws8, w, c).astype(dt)
+    # With drop-path active the WHOLE branch sum (attention + gate terms)
+    # stays f32 and the dp scale applies before the dtype cast, matching the
+    # backward kernels which scale dy / recompute the pre-scale branch in
+    # f32 — the VJP is then the exact transpose under bf16 compute. The
+    # eval path (has_dp=False) keeps the original dt arithmetic bit-exact.
+    acc_dt = jnp.float32 if has_dp else dt
+    y = y.reshape(ws8, w, c).astype(acc_dt)
     if has_gate:
         g = gate_ref[0, 0]  # (W/8, C)
         emat = _window_expand_mat(w)
         gb = jnp.dot(emat, g.astype(jnp.float32),
-                     preferred_element_type=jnp.float32).astype(dt)
-        y = x_mid[0] * gb[None] + y
+                     preferred_element_type=jnp.float32).astype(acc_dt)
+        y = x_mid[0].astype(acc_dt) * gb[None] + y
     if has_gate_map:
         # full-resolution per-pixel gate (sharded shifted blocks: the caller
         # rolls the window gates into the unrolled frame explicitly)
-        y = x_mid[0] * gmap_ref[0] + y
+        y = x_mid[0].astype(acc_dt) * gmap_ref[0].astype(acc_dt) + y
     if has_dp:
         # per-sample drop-path scale on the branch sum (training): the
         # shortcut add below stays unscaled. dp_ref is the full (B,) SMEM
         # vector (Mosaic rejects rank-1 sub-128 blocks); index dynamically.
-        y = y * dp_ref[pl.program_id(0)].astype(dt)
+        y = y * dp_ref[pl.program_id(0)]
+    y = y.astype(dt)
     if residual:
         y = x_mid[0] + y
     if has_shortcut:
@@ -1706,11 +1722,14 @@ def _sp_stream_specs(h, w, c):
 
 def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
               num_heads, eps, interpret):
-    """Shard-local phase 0: per-image partial (gram (B,C,dh), nq2/nk2
-    (B,nH,dh)) from this shard's rows. The caller psums across shards."""
+    """Shard-local phase 0: per-image partial (gram (B,CL,dh), nq2/nk2
+    (B,nH,dh)) from this shard's rows. The caller psums across shards.
+    CL = wqkv2.shape[1]//3 — the LOCAL q/k/v width (== C without spectral
+    TP; the member's head block c/n_sp under it)."""
     b, h, w, c = x.shape
     assert h % 8 == 0, h
-    dh = c // num_heads
+    cl = wqkv2.shape[1] // 3
+    dh = cl // num_heads
     n_slab = h // 8
     dt = x.dtype
     ln = ln_w is not None
@@ -1731,12 +1750,12 @@ def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
         grid=(b, n_slab),
         in_specs=in_specs0,
         out_specs=[
-            pl.BlockSpec((1, c, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cl, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_heads, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, c, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, cl, dh), jnp.float32),
             jax.ShapeDtypeStruct((b, num_heads, dh), jnp.float32),
             jax.ShapeDtypeStruct((b, num_heads, dh), jnp.float32),
         ],
@@ -1756,7 +1775,9 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
     stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    comb_spec = pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+    # comb is (B, CL, C): CL == C except under spectral TP (local head block)
+    comb_spec = pl.BlockSpec((1,) + comb.shape[1:], lambda bi, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM)
 
     in_specs1 = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
                  full, comb_spec]
@@ -1802,7 +1823,9 @@ def spectral_sharded_fold(gram, nq2, nk2, temperature, wout, num_heads):
     (rows = v lanes)."""
     b, c, dh = gram.shape
     temp = temperature.reshape(num_heads).astype(jnp.float32)
-    wr = wout.reshape(c, c).astype(jnp.float32)
+    # c here is the LOCAL qkv width (== gram rows); wout may be the member's
+    # (cl, C_out) head-block slice under spectral TP
+    wr = wout.reshape(c, -1).astype(jnp.float32)
     combs = []
     for hh in range(num_heads):
         g = gram[:, hh * dh : (hh + 1) * dh]               # (B, dh, dh)
@@ -1927,6 +1950,66 @@ def fused_spectral_attention_split(
         x, zrow, zrow, edge, wqkv2d, wdw2d, comb, ln_w, ln_b,
         gate, gate_map, shortcut, dp_scale, num_heads=num_heads, eps=eps,
         residual=residual, interpret=interpret)
+
+
+def fused_spectral_attention_tp(
+    x: Array,            # (B, Hlocal, W, C) full-channel input (rows may be
+                         # spatially sharded; channels replicated)
+    wqkv_l: Array,       # (1, 1, C, 3*CL) this member's head-block slices
+    wdw_l: Array,        # (3, 3, 1, 3*CL)
+    temp_l: Array,       # (local_heads, 1, 1)
+    wout_l: Array,       # (CL, C) rows of the output projection
+    local_heads: int,
+    spectral_axis: str,
+    spatial_axis: Optional[str] = None,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> Array:
+    """Head-parallel (Megatron-TP style) spectral attention on the sp0/sp1
+    custom-VJP Pallas cores: each `spectral`-axis member computes ONLY its
+    head block (local qkv/dwconv taps, (CL, C) local comb fold) and the
+    partial projected outputs psum over the axis — the fused-kernel twin of
+    the jnp TP formulation in models/layers.SpectralAttention (round-3
+    VERDICT #5). Composes with spatial row sharding: halo ppermute + Gram
+    psum over `spatial_axis`, exactly like fused_spectral_attention_sharded.
+    Plain attention only — under spectral TP the PGSSTB epilogues stay in
+    the caller's explicit composition (they must apply once, post-psum).
+    SURVEY §2.6 band-sharding; the reference has no analogue (single GPU,
+    net/MP_HSIR.py:85-114). Differentiable: the psums/ppermutes transpose
+    natively in the traced glue around the custom-VJP cores."""
+    from mp_hsir_tpu.ops.pallas_vjp import sp0_sharded, sp1_sharded
+
+    b, h, w, c = x.shape
+    assert h % 8 == 0, h
+    cl3 = wqkv_l.shape[-1]
+    wqkv2d = wqkv_l.reshape(c, cl3)
+    wdw2d = wdw_l.reshape(9, cl3)
+    if spatial_axis is not None:
+        n_shards = jax.lax.axis_size(spatial_axis)
+        idx = jax.lax.axis_index(spatial_axis)
+        down = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        up = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        halo_top = jax.lax.ppermute(x[:, h - 1 : h], spatial_axis, down)
+        halo_bot = jax.lax.ppermute(x[:, 0:1], spatial_axis, up)
+        edge = jnp.stack([(idx == 0).astype(jnp.int32),
+                          (idx == n_shards - 1).astype(jnp.int32)])
+    else:
+        halo_top = halo_bot = jnp.zeros((b, 1, w, c), x.dtype)
+        edge = jnp.ones((2,), jnp.int32)
+
+    gram, nq2, nk2 = sp0_sharded(
+        x, halo_top, halo_bot, edge, wqkv2d, wdw2d, None, None,
+        num_heads=local_heads, eps=eps, interpret=interpret)
+    if spatial_axis is not None:
+        gram = jax.lax.psum(gram, spatial_axis)
+        nq2 = jax.lax.psum(nq2, spatial_axis)
+        nk2 = jax.lax.psum(nk2, spatial_axis)
+    comb = spectral_sharded_fold(gram, nq2, nk2, temp_l, wout_l, local_heads)
+    y = sp1_sharded(
+        x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb, None, None,
+        None, None, None, None, num_heads=local_heads, eps=eps,
+        residual=False, interpret=interpret)
+    return jax.lax.psum(y, spectral_axis)
 
 
 def fused_window_attention(

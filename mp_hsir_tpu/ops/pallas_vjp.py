@@ -1230,7 +1230,9 @@ def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
     through the psum/fold by the outer traced glue — recompute q/k per slab
     and emit dx/dhalo rows + dwqk/dwdwqk."""
     _, ws8, w, c = x_mid.shape
-    dh = c // num_heads
+    # local q/k width from the WEIGHT shape (spectral TP: cl = c/n_sp)
+    cl = wqk_ref.shape[1] // 2
+    dh = cl // num_heads
     dt = x_mid.dtype
     i = pl.program_id(1)
     opt = list(rest[: 2 if ln else 0])
@@ -1253,9 +1255,9 @@ def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
     x10, xhat, rstd, top_edge, bot_edge = _sp_build_x10_bwd(
         x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab, ln, lnw_ref,
         lnb_ref, eps, dt, w, c)
-    tp, qk = _sp_taps_fwd(x10, wqk_ref, wdwqk_ref, dt, w, c, 2 * c)
-    q = qk[:, :c]
-    kk = qk[:, c:]
+    tp, qk = _sp_taps_fwd(x10, wqk_ref, wdwqk_ref, dt, w, c, 2 * cl)
+    q = qk[:, :cl]
+    kk = qk[:, cl:]
     dq_heads, dk_heads = [], []
     for h in range(num_heads):
         qh = q[:, h * dh : (h + 1) * dh]
@@ -1268,9 +1270,9 @@ def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
         dkh = dkh + 2.0 * kh.astype(jnp.float32) * dnk_ref[0, h, :][None, :]
         dq_heads.append(dqh)
         dk_heads.append(dkh)
-    dacc = jnp.concatenate(dq_heads + dk_heads, axis=1)  # (8W, 2C) f32
+    dacc = jnp.concatenate(dq_heads + dk_heads, axis=1)  # (8W, 2CL) f32
     dxn10 = _sp_taps_bwd(dacc, tp, x10, wqk_ref, wdwqk_ref, dwqk_ref,
-                         dwdwqk_ref, dtp_scr, dt, w, c, 2 * c)
+                         dwdwqk_ref, dtp_scr, dt, w, c, 2 * cl)
     dx_mid, dtop_row, dbot_row = _sp_rows_out(
         dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref, dlnw_ref,
         dlnb_ref, w, c)
@@ -1331,7 +1333,8 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     x10, xhat, rstd, top_edge, bot_edge = _sp_build_x10_bwd(
         x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab, ln, lnw_ref,
         lnb_ref, eps, dt, w, c)
-    tp, v = _sp_taps_fwd(x10, wv_ref, wdwv_ref, dt, w, c, c)
+    # local v width from the weight shape (spectral TP: cl = c/n_sp)
+    tp, v = _sp_taps_fwd(x10, wv_ref, wdwv_ref, dt, w, c, wv_ref.shape[1])
     dyb = dy_ref[0]
     if has_dp:
         dyb = (dyb.astype(jnp.float32) * dp_ref[pl.program_id(0)]).astype(dt)
@@ -1343,7 +1346,7 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dxn10 = _sp_taps_bwd(dv, tp, x10, wv_ref, wdwv_ref, dwv_ref, dwdwv_ref,
-                         dtp_scr, dt, w, c, c)
+                         dtp_scr, dt, w, c, wv_ref.shape[1])
     dx_mid, dtop_row, dbot_row = _sp_rows_out(
         dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref, dlnw_ref,
         dlnb_ref, w, c)
@@ -1373,7 +1376,10 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
         dx_mid = dx_mid + dy3 * gmap_ref[0].astype(jnp.float32)
         dgmap_ref[0] = (dy3 * x_mid[0].astype(jnp.float32)).astype(dgmap_ref.dtype)
         if has_dp:
-            branch = branch + (x_mid[0] * gmap_ref[0]).astype(jnp.float32)
+            # f32 product to match the has_gate path (and the f32 forward
+            # branch sum under drop-path)
+            branch = branch + (x_mid[0].astype(jnp.float32)
+                               * gmap_ref[0].astype(jnp.float32))
     if has_dp:
         ddp_ref[:] += jnp.sum(dy_ref[0].astype(jnp.float32)
                               * branch.astype(jnp.float32),
@@ -1413,6 +1419,9 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
     dt = x.dtype
     n_slab = h // 8
     ln = ln_w is not None
+    # local q/k/v section width (== c except under spectral TP)
+    cl = wqkv2.shape[1] // 3
+    dh = cl // num_heads
     stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1420,16 +1429,16 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
                                    memory_space=pltpu.VMEM)
 
     in_specs = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
-                full, stat((c, c // num_heads)),
-                stat((num_heads, c // num_heads)),
-                stat((num_heads, c // num_heads))]
+                full, stat((cl, dh)),
+                stat((num_heads, dh)),
+                stat((num_heads, dh))]
     args = [x, x, x, htop.astype(dt), hbot.astype(dt), edge,
-            wqkv2[:, : 2 * c].astype(dt), wdw2[:, : 2 * c].astype(dt),
+            wqkv2[:, : 2 * cl].astype(dt), wdw2[:, : 2 * cl].astype(dt),
             dgram, dnq, dnk]
     if ln:
         in_specs += [full, full]
         args += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
-    wacc = [_acc_spec((c, 2 * c)), _acc_spec((9, 2 * c))]
+    wacc = [_acc_spec((c, 2 * cl)), _acc_spec((9, 2 * cl))]
     if ln:
         wacc += [_acc_spec((1, c)), _acc_spec((1, c))]
     kern = functools.partial(_sp0_bwd_kernel, num_heads=num_heads,
@@ -1444,7 +1453,7 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
             jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
             jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
         ] + [d for _, d in wacc],
-        scratch_shapes=[pltpu.VMEM((10, w + 2, 2 * c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((10, w + 2, 2 * cl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
@@ -1463,10 +1472,12 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     dt = x.dtype
     n_slab = h // 8
     ln = ln_w is not None
+    # local v width (== c except under spectral TP); comb is (B, cl, c)
+    cl = wqkv2.shape[1] // 3
     stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    comb_spec = pl.BlockSpec((1, c, c), lambda bi, i: (bi, 0, 0),
+    comb_spec = pl.BlockSpec((1, cl, c), lambda bi, i: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
     gate_spec = pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1474,7 +1485,7 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     in_specs = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
                 full, comb_spec, stream]
     args = [x, x, x, htop.astype(dt), hbot.astype(dt), edge,
-            wqkv2[:, 2 * c :].astype(dt), wdw2[:, 2 * c :].astype(dt),
+            wqkv2[:, 2 * cl :].astype(dt), wdw2[:, 2 * cl :].astype(dt),
             comb, dy.astype(dt)]
     if ln:
         in_specs += [full, full]
@@ -1488,13 +1499,13 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     if dp_scale is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(dp_scale.astype(jnp.float32))
-    wacc = [_acc_spec((c, c)), _acc_spec((9, c))]
+    wacc = [_acc_spec((c, cl)), _acc_spec((9, cl))]
     out_specs = [stream, rows_out, rows_out] + [s for s, _ in wacc] + [comb_spec]
     out_shape = [
         jax.ShapeDtypeStruct((b, h, w, c), dt),
         jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
         jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
-    ] + [d for _, d in wacc] + [jax.ShapeDtypeStruct((b, c, c), jnp.float32)]
+    ] + [d for _, d in wacc] + [jax.ShapeDtypeStruct((b, cl, c), jnp.float32)]
     if ln:
         out_specs += [_acc_spec((1, c))[0], _acc_spec((1, c))[0]]
         out_shape += [jax.ShapeDtypeStruct((1, c), jnp.float32)] * 2
@@ -1521,7 +1532,7 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((10, w + 2, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((10, w + 2, cl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args))
@@ -1571,13 +1582,14 @@ def _sp0_core(num_heads: int, eps: float, ln: bool, interpret: bool):
         x, htop, hbot, edge, wqkv2, wdw2, opt = res
         dgram, dnq, dnk = cots
         c = x.shape[-1]
+        cl = wqkv2.shape[1] // 3  # local section width (spectral TP)
         dx, dtopc, dbotc, dwqk, dwdwqk, dlnw, dlnb = _sp0_bwd_call(
             x, htop, hbot, edge, wqkv2, wdw2, opt.get("ln_w"), opt.get("ln_b"),
             dgram, dnq, dnk, num_heads=num_heads, eps=eps, interpret=interpret)
         dx, dhtop, dhbot = _halo_grads(dx, dtopc, dbotc)
-        zc = jnp.zeros((c, c), jnp.float32)
+        zc = jnp.zeros((c, cl), jnp.float32)
         dwqkv = jnp.concatenate([dwqk, zc], axis=1).astype(wqkv2.dtype)
-        dwdw = jnp.concatenate([dwdwqk, jnp.zeros((9, c), jnp.float32)],
+        dwdw = jnp.concatenate([dwdwqk, jnp.zeros((9, cl), jnp.float32)],
                                axis=1).astype(wdw2.dtype)
         dopt = {}
         if ln:
@@ -1621,6 +1633,7 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
     def bwd(res, dy):
         x, htop, hbot, edge, wqkv2, wdw2, comb, opt = res
         c = x.shape[-1]
+        cl = wqkv2.shape[1] // 3  # local section width (spectral TP)
         dx, dtopc, dbotc, dwv, dwdwv, dcomb, dlnw, dlnb, dgate, dgmap, ddp = \
             _sp1_bwd_call(
                 x, htop, hbot, edge, wqkv2, wdw2, comb, dy,
@@ -1628,9 +1641,9 @@ def _sp1_core(num_heads: int, eps: float, ln: bool, residual: bool,
                 opt.get("gate_map"), opt.get("dp"), num_heads=num_heads,
                 eps=eps, residual=residual, interpret=interpret)
         dx, dhtop, dhbot = _halo_grads(dx, dtopc, dbotc)
-        z2c = jnp.zeros((c, 2 * c), jnp.float32)
+        z2c = jnp.zeros((c, 2 * cl), jnp.float32)
         dwqkv = jnp.concatenate([z2c, dwv], axis=1).astype(wqkv2.dtype)
-        dwdw = jnp.concatenate([jnp.zeros((9, 2 * c), jnp.float32), dwdwv],
+        dwdw = jnp.concatenate([jnp.zeros((9, 2 * cl), jnp.float32), dwdwv],
                                axis=1).astype(wdw2.dtype)
         dopt = {}
         if ln:

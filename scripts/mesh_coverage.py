@@ -92,9 +92,13 @@ def main():
 
     tr = train_counts("mesh TRAIN (4x2 data x spatial, 64^2 patches, drop-path on)",
                       mc)
-    # every block must run Pallas kernels; drop-path-active blocks take the
-    # explicit composition but still route spectral through the sharded kernel
+    # every block must run the fused sharded epilogue even with drop-path
+    # active: the sp0/sp1/MLP custom-vjp kernels consume the per-sample
+    # stochastic-depth scales in-kernel (round 3)
     assert tr.get("pgsstb_unfused", 0) == 0
+    assert tr.get("pgsstb_fused_explicit", 0) == 0, (
+        "drop-path-active mesh training must run every block on the fused "
+        "sharded epilogue (dp scales are consumed in-kernel)")
 
     mc0 = dataclasses.replace(mc, drop_path_max=0.0)
     tr0 = train_counts("mesh TRAIN (drop_path_max=0: all-epilogue)", mc0)
@@ -102,6 +106,36 @@ def main():
     assert tr0.get("pgsstb_fused_explicit", 0) == 0, (
         "with drop-path off, mesh training must run every block on the "
         "fused sharded epilogue")
+
+    # --- 3-axis dryrun mesh (2x2x2): the spectral axis must see kernels ---
+    # (round-3 VERDICT #5: with spectral TP active the C x C attentions run
+    # the head-parallel sp0/sp1 kernel route, not the jnp fallback)
+    from mp_hsir_tpu.config import ModelConfig
+
+    mesh3 = make_mesh(data=2, spatial=2, spectral=2)
+    # mesh axes are injected by make_train_step from the mesh itself
+    mc3 = ModelConfig(
+        in_channels=5, out_channels=5, dim=16, num_blocks=(1, 1, 1),
+        num_refinement_blocks=1, heads=(2, 2, 2), task_classes=6,
+        compute_dtype="bfloat16", use_pallas_attention=True,
+    )
+    tc3 = TrainConfig(batch_size=2, patch_size=64)
+    step3 = trainer.make_train_step(mc3, mesh3)
+    state3 = jax.eval_shape(
+        lambda r: trainer.create_train_state(mc3, tc3, r), jax.random.key(0))
+    batch3 = {
+        "degraded": jax.ShapeDtypeStruct((2, 5, 64, 64), jnp.float32),
+        "clean": jax.ShapeDtypeStruct((2, 5, 64, 64), jnp.float32),
+        "task_id": jax.ShapeDtypeStruct((2,), jnp.int32),
+    }
+    L.reset_fused_path_stats()
+    jax.eval_shape(step3, state3, batch3, jax.random.key(1))
+    tp = report("mesh TRAIN (2x2x2 data x spatial x spectral, dryrun config)")
+    s3 = dict(L.FUSED_PATH_STATS)
+    assert s3.get("spectral_jnp", 0) == 0, (
+        "spectral TP must route the fused sp0/sp1 kernel path, not jnp")
+    assert s3.get("spectral_pallas_tp", 0) > 0
+    assert tp.get("pgsstb_unfused", 0) == 0
     print("\nmesh_coverage ok")
 
 

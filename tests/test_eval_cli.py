@@ -70,6 +70,15 @@ def test_eval_cli_pipelined_matches_sync(tmp_path):
     np.testing.assert_allclose(r_pipe["ssim"], r_sync["ssim"], atol=1e-5)
     np.testing.assert_allclose(r_pipe["sam"], r_sync["sam"], atol=1e-4)
 
+    # f16 upload (the pipelined CLI default): cubes cross the link 16-bit
+    # and are widened to f32 on device — metrics must match within f16
+    # quantization distance (~5e-4 on [0,1] inputs => well under 0.05 dB)
+    r_f16 = run_mode(dataclasses.replace(cfg, pipeline=3,
+                                         upload_dtype="float16"), TINY)
+    np.testing.assert_allclose(r_f16["psnr"], r_sync["psnr"], atol=0.05)
+    np.testing.assert_allclose(r_f16["ssim"], r_sync["ssim"], atol=1e-3)
+    np.testing.assert_allclose(r_f16["sam"], r_sync["sam"], atol=0.05)
+
 
 def test_eval_cli_pipelined_task_router(tmp_path):
     """--pipeline with --auto_task: the router runs in the uploader thread;

@@ -1,4 +1,4 @@
-"""Golden regression sweep as a test: modes 0-10 on the committed synthetic
+"""Golden regression sweep as a test: all 13 modes (0-12) on the committed synthetic
 fixture with the tiny seed-0 model must reproduce the committed
 PSNR/SSIM/SAM goldens (scripts/golden_sweep.py) — the guard that
 kernel/perf work can't silently bend numerics."""

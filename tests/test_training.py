@@ -154,3 +154,34 @@ def test_train_pipeline_deterministic(tmp_path):
         np.testing.assert_array_equal(np.asarray(a["task_id"]), np.asarray(b["task_id"]))
     # degraded differs from clean
     assert float(jnp.abs(b1[0]["degraded"] - b1[0]["clean"]).max()) > 1e-4
+
+
+def test_train_pipeline_f16_upload(tmp_path):
+    """Reduced-precision host->device upload (upload_dtype="float16"): the
+    clean patches are quantized to f16 on the host (halving link bytes) and
+    widened back to f32 on device. Outputs stay f32 and within f16
+    quantization distance (~5e-4 on [0,1] data) of the f32-upload stream."""
+    from mp_hsir_tpu.config import TrainConfig
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+
+    rng = np.random.default_rng(3)
+    with PatchStoreWriter(str(tmp_path / "s")) as w:
+        for i in range(8):
+            w.add(rng.random((10, 32, 32)).astype(np.float32), f"WDC_{i}")
+    tc = TrainConfig(
+        seed=7, batch_size=4, data_type="natural_scene",
+        de_types=("gaussianN", "inpaint"), steps_per_epoch=2,
+    )
+    store = PatchStore(str(tmp_path / "s"))
+    p32 = TrainPipeline(store, tc, target_bands=None)
+    p16 = TrainPipeline(store, tc, target_bands=None, upload_dtype="float16")
+    b32 = [dict(b) for b in p32.epoch(0, steps=2)]
+    b16 = [dict(b) for b in p16.epoch(0, steps=2)]
+    for a, b in zip(b32, b16):
+        assert np.asarray(b["clean"]).dtype == np.float32
+        assert np.asarray(b["degraded"]).dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(a["clean"]), np.asarray(b["clean"]), atol=6e-4)
+        np.testing.assert_array_equal(
+            np.asarray(a["task_id"]), np.asarray(b["task_id"]))
