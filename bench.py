@@ -151,9 +151,12 @@ def bench_train_e2e() -> None:
     DataLoader workers). Gap vs BENCH_TRAIN=1 = input-pipeline cost that
     failed to overlap.
 
-    Knobs: BENCH_UPLOAD=float16 uploads clean patches in 16-bit (halves
-    host->device bytes; widened to f32 on device); BENCH_PREFETCH=N producer
-    look-ahead (default 2)."""
+    Knobs: BENCH_UPLOAD=float16|uint16 uploads clean patches in 16-bit
+    (halves host->device bytes; widened to f32 on device — uint16 is the
+    fixed-point variant with 1.5e-5 steps); BENCH_PREFETCH=N producer
+    look-ahead (default 2); BENCH_RESIDENT=1 device-resident patch bank
+    (store uploaded to HBM once, on-device gather — zero steady-state
+    upload); BENCH_REFRESH=K background bank refresh patches/step."""
     import tempfile
 
     import jax
@@ -172,6 +175,8 @@ def bench_train_e2e() -> None:
     use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     upload_dtype = os.environ.get("BENCH_UPLOAD", "float32")
     prefetch = int(os.environ.get("BENCH_PREFETCH", "2"))
+    resident = os.environ.get("BENCH_RESIDENT", "0") == "1"
+    refresh = int(os.environ.get("BENCH_REFRESH", "0"))
     rs = os.environ.get("BENCH_RS", "0") == "1"
     preset = remote_sensing_config if rs else natural_scene_config
     mc = preset(compute_dtype="bfloat16", use_pallas_attention=use_pallas)
@@ -202,7 +207,8 @@ def bench_train_e2e() -> None:
     state = create_train_state(mc, tc, jax.random.key(0))
     step = make_train_step(mc, mesh)
     pipe = TrainPipeline(store, tc, target_bands=None, prefetch=prefetch,
-                         upload_dtype=upload_dtype)
+                         upload_dtype=upload_dtype, resident=resident,
+                         refresh_per_step=refresh)
 
     flops = 0.0
     if os.environ.get("BENCH_MFU", "1") == "1":
@@ -216,6 +222,8 @@ def bench_train_e2e() -> None:
         flops = _flops_of(step_x, state, batch_d, jax.random.key(1))
 
     bytes_per_step = batch * bands * patch * patch * np.dtype(upload_dtype).itemsize
+    if resident:
+        bytes_per_step = refresh * bands * patch * patch * np.dtype(upload_dtype).itemsize
     pace = int(os.environ.get("BENCH_PACE", "8"))
     base_rng = jax.random.key(1)
     t0 = None
@@ -234,12 +242,14 @@ def bench_train_e2e() -> None:
     float(loss)  # force completion of the final step before stopping the clock
     dt = time.perf_counter() - t0
     timed = n_steps + 1  # steps 3 .. n_steps+4 land inside the clock
-    print(f"[e2e] upload={upload_dtype} ({bytes_per_step / 1e6:.1f} MB/step), "
+    mode = (f"resident bank (refresh {refresh}/step)" if resident
+            else f"upload {upload_dtype}")
+    print(f"[e2e] {mode} ({bytes_per_step / 1e6:.1f} MB/step), "
           f"prefetch={prefetch}, {timed} timed steps, {dt / timed * 1e3:.1f} ms/step",
           file=sys.stderr)
     _emit(
         f"e2e train throughput (patch store->host->device->degrade->step, "
-        f"batch {batch}, {patch}x{patch}x{bands}, upload {upload_dtype})",
+        f"batch {batch}, {patch}x{patch}x{bands}, {mode})",
         timed / dt, "steps/sec", REFERENCE_A100_TRAIN_STEPS_PER_SEC, flops)
 
 

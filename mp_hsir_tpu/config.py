@@ -99,6 +99,21 @@ class TrainConfig:
     mesh_spatial: int = 1
     mixed_precision: bool = True  # bf16 compute (reference uses fp16-mixed)
     log_every: int = 50
+    # input-pipeline shape (data/train_pipeline.py). upload_dtype shrinks
+    # the clean patches crossing the host->device link ("float16",
+    # "bfloat16", or "uint16" fixed-point — measured decisive on
+    # link-constrained hosts: 2.55 -> 6.28 steps/s on the tunneled v5e,
+    # BENCH_NOTES round 4). resident_bank uploads the patch store to HBM
+    # once and gathers each batch ON DEVICE (zero steady-state upload);
+    # bank_patches caps its size and refresh_per_step streams that many
+    # fresh patches into bank slots per step for stores larger than the
+    # bank. No reference equivalent (the torch DataLoader re-reads LMDB
+    # every epoch — dataset_utils.py:82-146).
+    upload_dtype: str = "float32"
+    resident_bank: bool = False
+    bank_patches: Optional[int] = None
+    refresh_per_step: int = 0
+    prefetch: int = 2
 
     def de_types_resolved(self) -> Tuple[str, ...]:
         if self.de_types:

@@ -16,11 +16,28 @@ DataLoader worker iteration order).
 Overlap: the producer thread issues ``jax.device_put`` itself — JAX
 transfers are asynchronous, so the upload of batch k+1 rides alongside the
 device compute of step k instead of serializing with it in the consumer
-loop. ``upload_dtype`` optionally casts the clean patches to
-float16/bfloat16 on the host before upload (halving host->device bytes —
-decisive on link-constrained hosts) and casts back to float32 on device
-before degradation; see tests/test_train_pipeline.py for the measured
-numerics impact.
+loop. ``upload_dtype`` optionally shrinks the patches on the host before
+upload (halving host->device bytes — decisive on link-constrained hosts):
+
+* ``float16`` / ``bfloat16``: cast, widened back to f32 on device.
+* ``uint16``: fixed-point [0, 1] quantization (x * 65535, round). Same
+  bytes as float16 but uniform 1.5e-5 steps instead of float16's ~2.4e-4
+  relative grid near 1.0 — measured e2e-equivalent speed, strictly better
+  numerics for [0, 1] reflectance data (tests/test_train_pipeline.py).
+
+Resident-bank mode (``resident=True``): the TPU-native answer to a slow
+host->device link. The clean-patch store (or a ``bank_patches``-sized slice
+of it) is uploaded to HBM ONCE in the storage dtype; every step then gathers
+its batch ON DEVICE (one XLA gather fused into the degrade dispatch) and
+zero training-path bytes cross the link in steady state. A background
+thread can stream ``refresh_per_step`` fresh patches into bank slots
+(round-robin over both slots and the remaining store) to rotate content for
+stores larger than the bank — sampling then cycles a permutation of bank
+slots rather than the whole store (a documented deviation from the
+reference's epoch shuffle; with the bank covering the store and refresh off,
+the yielded stream is bit-identical to the streaming path). Measured on the
+tunneled v5e (BENCH_NOTES round 4): streaming f32 2.55 steps/s, f16 6.28,
+resident 6.7+ (= the synthetic-batch kernel number; the link drops out).
 """
 
 from __future__ import annotations
@@ -39,6 +56,24 @@ from mp_hsir_tpu.ops.pipeline_degrade import make_batch_degrader
 from mp_hsir_tpu.utils.image import interpolate_bands
 
 
+def _host_shrink(clean: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Cast a float32 [0,1] host batch to the upload dtype."""
+    if dtype == np.float32:
+        return clean
+    if dtype == np.uint16:
+        return (np.clip(clean, 0.0, 1.0) * 65535.0 + 0.5).astype(np.uint16)
+    return clean.astype(dtype)
+
+
+def _dev_widen(clean: jax.Array) -> jax.Array:
+    """Inverse of _host_shrink, on device (traced)."""
+    if clean.dtype == jnp.uint16:
+        return clean.astype(jnp.float32) * np.float32(1.0 / 65535.0)
+    if clean.dtype != jnp.float32:
+        return clean.astype(jnp.float32)
+    return clean
+
+
 class TrainPipeline:
     def __init__(
         self,
@@ -48,22 +83,31 @@ class TrainPipeline:
         target_bands: Optional[int] = None,
         prefetch: int = 2,
         upload_dtype: str = "float32",
+        resident: bool = False,
+        bank_patches: Optional[int] = None,
+        refresh_per_step: int = 0,
     ):
         self.store = store
         self.tc = tc
         self.de_types = tc.de_types_resolved()
         self.target_bands = target_bands
         degrade = make_batch_degrader(self.de_types, tc.data_type, cirrus_bank)
-        if upload_dtype == "float32":
-            self._degrade = jax.jit(degrade)
-        else:
-            # reduced-precision upload: clean patches cross the link in
-            # 16-bit and are widened back to f32 on device before the
-            # degradation math (which stays f32-exact given its input)
-            self._degrade = jax.jit(
-                lambda k, c, d: degrade(k, c.astype(jnp.float32), d))
+        self._degrade = jax.jit(lambda k, c, d: degrade(k, _dev_widen(c), d))
+        # resident mode: the gather rides the degrade dispatch; the bank
+        # stays in the (possibly 16-bit) storage dtype in HBM and only the
+        # gathered batch widens to f32
+        self._gather_degrade = jax.jit(
+            lambda k, bank, idxs, d: degrade(k, _dev_widen(bank[idxs]), d))
+        self._refresh_fn = jax.jit(
+            lambda bank, new, slots: bank.at[slots].set(new), donate_argnums=0)
         self.upload_dtype = np.dtype(upload_dtype)
         self.prefetch = prefetch
+        self.resident = resident
+        self.refresh_per_step = refresh_per_step
+        self.bank_patches = bank_patches
+        self._bank = None          # device array (N, C, H, W) storage dtype
+        self._bank_src = None      # store index feeding each bank slot
+        self._next_store_idx = 0   # next store patch for refresh rotation
         self.rng = np.random.default_rng(tc.seed)
 
     def _host_batch(self, idxs: np.ndarray) -> np.ndarray:
@@ -72,12 +116,86 @@ class TrainPipeline:
             batch = np.stack([interpolate_bands(b, self.target_bands) for b in batch])
         return batch
 
+    # ------------------------------------------------------------------
+    # resident bank
+    # ------------------------------------------------------------------
+    def _build_bank(self) -> None:
+        n = len(self.store)
+        bank_n = min(n, self.bank_patches) if self.bank_patches else n
+        # upload in slabs so host memory stays bounded for big stores
+        slabs = []
+        for s in range(0, bank_n, 256):
+            idxs = np.arange(s, min(s + 256, bank_n))
+            slabs.append(jax.device_put(
+                _host_shrink(self._host_batch(idxs), self.upload_dtype)))
+        self._bank = jnp.concatenate(slabs, axis=0) if len(slabs) > 1 else slabs[0]
+        self._bank_src = np.arange(bank_n)
+        self._next_store_idx = bank_n % n
+
+    def _refresh_producer(self, q: queue.Queue, max_steps: int) -> None:
+        """Uploads refresh_per_step fresh patches per step (round-robin over
+        both bank slots and the rest of the store), one step ahead."""
+        try:
+            n = len(self.store)
+            bank_n = int(self._bank.shape[0])
+            slot = 0
+            for _ in range(max_steps):
+                k = self.refresh_per_step
+                store_idxs = (self._next_store_idx + np.arange(k)) % n
+                self._next_store_idx = int((self._next_store_idx + k) % n)
+                slots = (slot + np.arange(k)) % bank_n
+                slot = int((slot + k) % bank_n)
+                new = _host_shrink(self._host_batch(store_idxs), self.upload_dtype)
+                q.put((jnp.asarray(slots), jax.device_put(new)))
+            q.put(None)
+        except BaseException as e:  # propagate instead of hanging the consumer
+            q.put(e)
+
+    def _epoch_resident(self, epoch_idx: int, max_steps: int) -> Iterator[dict]:
+        if self._bank is None:
+            self._build_bank()
+        bank_n = int(self._bank.shape[0])
+        bs = self.tc.batch_size
+        order = np.random.default_rng([self.tc.seed, epoch_idx]).permutation(bank_n)
+        rq: Optional[queue.Queue] = None
+        if self.refresh_per_step > 0:
+            rq = queue.Queue(maxsize=self.prefetch)
+            threading.Thread(target=self._refresh_producer,
+                             args=(rq, max_steps), daemon=True).start()
+        for s in range(max_steps):
+            if rq is not None:
+                item = rq.get()
+                if isinstance(item, BaseException):
+                    raise item
+                if item is not None:
+                    slots, new = item
+                    self._bank = self._refresh_fn(self._bank, new, slots)
+            start = (s * bs) % bank_n
+            idxs = np.take(order, np.arange(start, start + bs), mode="wrap")
+            de_ids = np.random.default_rng([self.tc.seed, epoch_idx, s]).integers(
+                0, len(self.de_types), size=bs)
+            key = jax.random.key(hash((self.tc.seed, epoch_idx, s)) & 0x7FFFFFFF)
+            degraded, clean_aug = self._gather_degrade(
+                key, self._bank, jnp.asarray(idxs), jnp.asarray(de_ids))
+            yield {
+                "degraded": degraded,
+                "clean": clean_aug,
+                "task_id": jnp.asarray(de_ids, jnp.int32),
+                "step_in_epoch": s,
+            }
+
+    # ------------------------------------------------------------------
+    # streaming (producer-thread) path
+    # ------------------------------------------------------------------
     def epoch(self, epoch_idx: int, steps: Optional[int] = None) -> Iterator[dict]:
         """Yield device-resident batches: degraded, clean, task_id."""
         n = len(self.store)
         bs = self.tc.batch_size
-        order = np.random.default_rng([self.tc.seed, epoch_idx]).permutation(n)
         max_steps = steps if steps is not None else max(n // bs, 1)
+        if self.resident:
+            yield from self._epoch_resident(epoch_idx, max_steps)
+            return
+        order = np.random.default_rng([self.tc.seed, epoch_idx]).permutation(n)
 
         def producer(q: queue.Queue):
             try:
@@ -86,9 +204,7 @@ class TrainPipeline:
                     # cycle through `order` as often as needed (tiny stores
                     # can be smaller than one batch)
                     idxs = np.take(order, np.arange(start, start + bs), mode="wrap")
-                    clean = self._host_batch(idxs)
-                    if self.upload_dtype != np.float32:
-                        clean = clean.astype(self.upload_dtype)
+                    clean = _host_shrink(self._host_batch(idxs), self.upload_dtype)
                     de_ids = np.random.default_rng([self.tc.seed, epoch_idx, s]).integers(
                         0, len(self.de_types), size=bs
                     )

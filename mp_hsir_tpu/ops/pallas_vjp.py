@@ -26,6 +26,7 @@ Conventions shared by every core:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -96,6 +97,20 @@ def _first_step(ndims):
     return f
 
 
+def _tree_sum(terms):
+    """Balanced pairwise sum of a list of same-shape arrays. A sequential
+    `acc = acc + term` chain over N big VMEM-resident terms forms N
+    dependent read-modify-write passes; the balanced tree halves the chain
+    depth and gives Mosaic independent adds to fuse/pipeline."""
+    ts = list(terms)
+    while len(ts) > 1:
+        nxt = [ts[i] + ts[i + 1] for i in range(0, len(ts) - 1, 2)]
+        if len(ts) % 2:
+            nxt.append(ts[-1])
+        ts = nxt
+    return ts[0]
+
+
 # ---------------------------------------------------------------------------
 # fused LayerNorm + GatedMlp: backward
 # ---------------------------------------------------------------------------
@@ -115,9 +130,10 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         rest = rest[2:]
     dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dlnw_ref, dlnb_ref = rest[:7]
     ddp_ref = rest[7] if has_dp else None
-    _, r8, bw, c = x_ref.shape
+    nb, r8, bw, c = x_ref.shape
     dt = x_ref.dtype
-    t = r8 * bw
+    ts = r8 * bw   # tokens per sample in this block
+    t = nb * ts
 
     @pl.when(_first_step(3))
     def _():
@@ -133,8 +149,8 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         def _():
             ddp_ref[:] = jnp.zeros_like(ddp_ref)
 
-    x = x_ref[0].reshape(t, c)
-    dy_raw = dy_ref[0].reshape(t, c)
+    x = x_ref[:].reshape(t, c)
+    dy_raw = dy_ref[:].reshape(t, c)
     dy = dy_raw
     # --- recompute forward intermediates for this tile
     xn_f32, xhat, rstd = _ln_fwd_rows(x, lnw_ref, lnb_ref, eps)
@@ -147,12 +163,19 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
     if has_dp:
         # exact ds_b needs the pre-scale branch value: recompute it (the
-        # second fc is one extra MXU dot on already-live operands)
+        # second fc is one extra MXU dot on already-live operands); the
+        # per-sample ddp sums and dy scaling walk the nb samples stacked in
+        # this block (sample j owns token rows [j*ts, (j+1)*ts))
         branch = jnp.dot(gated, w2_ref[:],
                          preferred_element_type=jnp.float32) + b2_ref[:]
-        ddp_ref[:] += jnp.sum(dy_raw.astype(jnp.float32) * branch,
-                              axis=0)[None, None, :]
-        dy = (dy_raw.astype(jnp.float32) * dp_ref[pl.program_id(0)]).astype(dt)
+        scaled = []
+        for j in range(nb):
+            dyj = dy_raw[j * ts : (j + 1) * ts].astype(jnp.float32)
+            ddp_ref[j] += jnp.sum(dyj * branch[j * ts : (j + 1) * ts],
+                                  axis=0)[None, :]
+            scaled.append(dyj * dp_ref[pl.program_id(0) * nb + j])
+        dy = (jnp.concatenate(scaled, axis=0) if nb > 1
+              else scaled[0]).astype(dt)
 
     # --- backward chain (f32 accumulation, bf16 matmul operands)
     dy2 = dy.astype(dt)
@@ -178,7 +201,7 @@ def _mlp_bwd_kernel(x_ref, dy_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     dx = _ln_bwd_rows(dxn, xhat, rstd, lnw_ref)
     if residual:
         dx = dx + dy_raw.astype(jnp.float32)
-    dx_ref[0] = dx.reshape(r8, bw, c).astype(dx_ref.dtype)
+    dx_ref[:] = dx.reshape(nb, r8, bw, c).astype(dx_ref.dtype)
 
 
 def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, b2=None, dp_scale=None, *,
@@ -187,10 +210,17 @@ def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, b2=None, dp_scale=None, *,
     dt = x.dtype
     cap = 128 if 2 * hidden <= 768 else 64
     bw = w if w <= cap else _pick_chunk(w, cap)
-    grid = (b, h // 8, w // bw)
+    # batch-tile: nb samples per grid step until ~PALLAS_MLP_BWD_TOKENS
+    # tokens (train-regime slabs are tiny and grid-step-latency-bound; see
+    # _win_bwd_tiles). Reduces to nb=1 at eval sizes.
+    target = int(os.environ.get("PALLAS_MLP_BWD_TOKENS", "2048"))
+    nb = max(1, min(b, target // (8 * bw)))
+    while b % nb:
+        nb -= 1
+    grid = (b // nb, h // 8, w // bw)
     kern = functools.partial(_mlp_bwd_kernel, hidden=hidden, eps=eps,
                              residual=residual, has_dp=dp_scale is not None)
-    blk = pl.BlockSpec((1, 8, bw, c), lambda bi, i, j: (bi, i, j, 0),
+    blk = pl.BlockSpec((nb, 8, bw, c), lambda bi, i, j: (bi, i, j, 0),
                        memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -214,7 +244,7 @@ def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, b2=None, dp_scale=None, *,
     out_specs = [blk] + [s for s, _ in specs]
     out_shape = [jax.ShapeDtypeStruct((b, h, w, c), dt)] + [d for _, d in specs]
     if dp_scale is not None:
-        out_specs.append(pl.BlockSpec((1, 8, c), lambda bi, i, j: (bi, 0, 0),
+        out_specs.append(pl.BlockSpec((nb, 8, c), lambda bi, i, j: (bi, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, 8, c), jnp.float32))
     out = pl.pallas_call(
@@ -302,7 +332,7 @@ def mlp_fused(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale=None, *, hidden, eps,
 def _gdfn_bwd_kernel(x_top, x_mid, x_bot, dy_ref, lnw_ref, lnb_ref, win_ref,
                      wdw_ref, wout_ref,
                      dx_ref, dtop_ref, dbot_ref, dwin_ref, dwdw_ref, dwout_ref,
-                     dlnw_ref, dlnb_ref, xn_ref, dxn_ref, dt_scr, *,
+                     dlnw_ref, dlnb_ref, xn_ref, dxn_ref, *,
                      hidden, eps, n_slab, cw, residual):
     """Exact VJP of _gdfn_kernel. The depthwise 3x3 halo means x rows 8i-1
     and 8i+8 (owned by the NEIGHBOR slabs) receive gradient from THIS slab's
@@ -337,11 +367,14 @@ def _gdfn_bwd_kernel(x_top, x_mid, x_bot, dy_ref, lnw_ref, lnb_ref, win_ref,
         xs = xn_ref[:, pl.ds(j * cw, cw + 2), :].reshape(10 * (cw + 2), c)
         t = jnp.dot(xs, win_ref[:], preferred_element_type=jnp.float32)
         t = t.reshape(10, cw + 2, 2 * hidden)
-        acc = jnp.zeros((ws8, cw, 2 * hidden), jnp.float32)
-        for dr in range(3):
-            for dc in range(3):
-                wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
-                acc = acc + t[dr : dr + ws8, dc : dc + cw, :] * wtap
+        # recompute the depthwise output as a balanced TREE of the 9 tap
+        # terms: the old sequential acc-chain was 9 dependent RMW passes
+        # over the (8, cw, 2h) f32 intermediate — the dominant cost of this
+        # kernel is exactly these 2h-wide VMEM passes (VERDICT r3 ask #3)
+        acc = _tree_sum(
+            t[dr : dr + ws8, dc : dc + cw, :]
+            * wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+            for dr in range(3) for dc in range(3))
         a = acc[:, :, :hidden]
         g = acc[:, :, hidden:]
         gelu_a = _gelu_f32(a)
@@ -359,16 +392,20 @@ def _gdfn_bwd_kernel(x_top, x_mid, x_bot, dy_ref, lnw_ref, lnb_ref, win_ref,
         da = dgated * g * _dgelu_f32(a)
         dg = dgated * gelu_a
         dacc = jnp.concatenate([da, dg], axis=2)  # (8, cw, 2h) f32
-        # accumulate tap gradients in a VMEM scratch with STATIC slice
-        # stores — Mosaic has no dynamic_update_slice on values
-        dt_scr[:] = jnp.zeros_like(dt_scr)
         for dr in range(3):
             for dc in range(3):
-                wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
                 dwdw_ref[dr * 3 + dc, :] += jnp.sum(
                     dacc * t[dr : dr + ws8, dc : dc + cw, :], axis=(0, 1))
-                dt_scr[dr : dr + ws8, dc : dc + cw, :] += dacc * wtap
-        dt2 = dt_scr[:].reshape(10 * (cw + 2), 2 * hidden)
+        # dt as a GATHER (transposed stencil) instead of 9 scatter-RMWs into
+        # a zeroed scratch: dt[i, j] = sum_k dacc[i-dr, j-dc] * w_k — pad
+        # dacc once and tree-sum the 9 shifted reads (combined dwdw+dt
+        # restructure, VERDICT r3 ask #3; dt_scr and its zeroing are gone)
+        dacc_pad = jnp.pad(dacc, ((2, 2), (2, 2), (0, 0)))
+        dt_val = _tree_sum(
+            dacc_pad[2 - dr : 12 - dr, 2 - dc : cw + 4 - dc, :]
+            * wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
+            for dr in range(3) for dc in range(3))
+        dt2 = dt_val.reshape(10 * (cw + 2), 2 * hidden)
         dwin_ref[:] += jax.lax.dot_general(
             xs, dt2.astype(dt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -439,7 +476,6 @@ def _gdfn_bwd_call(x, dy, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps,
         scratch_shapes=[
             pltpu.VMEM((10, w + 2, c), dt),
             pltpu.VMEM((10, w + 2, c), jnp.float32),
-            pltpu.VMEM((10, cw + 2, 2 * hidden), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
@@ -493,22 +529,34 @@ def gdfn_fused(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps, residual,
 def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
                     bqkv_ref, bias_ref, wp_ref, bp_ref,
                     dx_ref, dwqkv_ref, dbqkv_ref, dbias_ref, dwp_ref, dbp_ref,
-                    dlnw_ref, dlnb_ref, qkv_ref, dqkv_ref, do_ref, dyt_ref, *,
-                    num_heads, eps, seg_w, has_mask, lab_ref=None):
+                    dlnw_ref, dlnb_ref, qkv_ref, dqkv_ref, do_ref, dyt_ref,
+                    o_ref, *, num_heads, eps, seg_w, has_mask, lab_ref=None):
     """Exact VJP of _nhwc_kernel (shift_in=False): recompute LN/qkv/attention
     per 128-token segment and run the standard attention backward
     (dv = A^T do, dS = A ⊙ (dA − rowsum(dA⊙A)), dq = dS k, dk = dS^T q).
     The pooled-mean second output backflows as dy += expand(dpool)/64. The
     -1e9 cross-window bias entries give exactly-zero attention rows after
     softmax, so dS (and thus dbias) is exactly zero there — no gradient
-    leaks across windows."""
+    leaks across windows.
+
+    One grid step processes a (nb, 8*rows, W, C) block — nb samples x rows
+    window-rows. At the train regime (64^2 maps) the old one-8-row-slab
+    steps were ~8.6 us each with ~1 us of MXU work: per-step grid/DMA
+    latency dominated, so the call wrapper batches samples and window-rows
+    per step (_win_bwd_tiles). All token-wise dots (LN, qkv, do, dwp, dqkv,
+    LN-bwd) run block-wide as single big MXU dots; only the quadratic
+    per-128-token-segment attention math loops. dwp accumulates ONE
+    block-wide dot from the o scratch instead of one small RMW dot per
+    segment."""
     from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
 
-    _, ws8, w, c = x_ref.shape
+    nb, ws8, w, c = x_ref.shape
+    rows = ws8 // 8
     dh = c // num_heads
     n_seg = w // seg_w
     t = 8 * seg_w
     dt = x_ref.dtype
+    tokens = nb * ws8 * w
 
     @pl.when(_first_step(2))
     def _():
@@ -520,75 +568,87 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
         dlnw_ref[:] = jnp.zeros_like(dlnw_ref)
         dlnb_ref[:] = jnp.zeros_like(dlnb_ref)
 
-    # --- recompute LN + qkv for the slab
-    x2 = x_ref[0].reshape(ws8 * w, c)
+    # --- recompute LN + qkv for the block (one big dot)
+    x2 = x_ref[:].reshape(tokens, c)
     xn_f32, xhat, rstd = _ln_fwd_rows(x2, lnw_ref, lnb_ref, eps)
     xn = xn_f32.astype(dt)
     qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-                  + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
+                  + bqkv_ref[:]).astype(dt).reshape(nb * ws8, w, 3 * c)
 
-    # --- pooled-mean backflow + output-projection backward (slab-wide)
-    gb = jnp.dot(_window_expand_mat(w), dpool_ref[0, 0].astype(jnp.float32),
-                 preferred_element_type=jnp.float32)  # (W, C)
-    dy_tot = dy_ref[0].astype(jnp.float32) + gb[None] * (1.0 / 64.0)
-    dbp_ref[:] += jnp.sum(dy_tot.reshape(ws8 * w, c), axis=0, keepdims=True)
-    dyt_ref[:] = dy_tot.astype(dt)
-    dy2 = dy_tot.reshape(ws8 * w, c).astype(dt)
+    # --- pooled-mean backflow (per sample x window-row) into f32 dyt
+    exp_mat = _window_expand_mat(w)
+    for j in range(nb):
+        for r in range(rows):
+            gb = jnp.dot(exp_mat, dpool_ref[j, r].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)  # (W, C)
+            dyt_ref[pl.ds((j * ws8 + r * 8), 8)] = (
+                dy_ref[j, pl.ds(r * 8, 8)].astype(jnp.float32)
+                + gb[None] * (1.0 / 64.0))
+    # --- output-projection backward (block-wide)
+    dy_all = dyt_ref[:].reshape(tokens, c)  # f32
+    dbp_ref[:] += jnp.sum(dy_all, axis=0, keepdims=True)
+    dy2 = dy_all.astype(dt)
     do_all = jax.lax.dot_general(dy2, wp_ref[:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    do_ref[:] = do_all.astype(dt).reshape(ws8, w, c)
+    do_ref[:] = do_all.astype(dt).reshape(nb * ws8, w, c)
 
-    for p in range(n_seg):
-        qkv = qkv_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
-        do_seg = do_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, c)
-        dy_seg = dyt_ref[:, pl.ds(p * seg_w, seg_w), :].reshape(t, c)
-        if has_mask:
-            lab = lab_ref[0, :, pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
-            lab_r = lab.reshape(t, 1)
-            off = lab_r != lab_r.reshape(1, t)
-        o_heads = []
-        dq_heads, dk_heads, dv_heads = [], [], []
-        for h in range(num_heads):
-            q = qkv[:, h * dh : (h + 1) * dh]
-            k = qkv[:, c + h * dh : c + (h + 1) * dh]
-            v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
-            attn = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) + bias_ref[h * t : (h + 1) * t, :]
+    for j in range(nb):
+      for r in range(rows):
+        base = j * ws8 + r * 8
+        for p in range(n_seg):
+            qkv = qkv_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
+            do_seg = do_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, c)
             if has_mask:
-                attn = jnp.where(off, -1e9, attn)
-            # mirror the forward primal's clipped softmax (the fwd kernel
-            # skips max-subtract via a +-80 clip): recomputing the EXACT
-            # softmax here would silently pair the clipped forward value
-            # with gradients of a different function if any score drifted
-            # past 80; the VPU softmax stays (the MXU ones-dot variant
-            # measured a 28% training regression — backward is MXU-bound)
-            attn = jax.nn.softmax(jnp.clip(attn, -80.0, 80.0), axis=-1)
-            attn_dt = attn.astype(dt)
-            o_heads.append(
-                jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))
-            do_h = do_seg[:, h * dh : (h + 1) * dh]
-            dv_heads.append(jax.lax.dot_general(
-                attn_dt, do_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            ds = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
-            dbias_ref[h * t : (h + 1) * t, :] += ds
-            ds_dt = ds.astype(dt)
-            dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
-            dk_heads.append(jax.lax.dot_general(
-                ds_dt, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        o_seg = jnp.concatenate(o_heads, axis=1)  # (T, C)
-        dwp_ref[:] += jax.lax.dot_general(o_seg, dy_seg, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-        dqkv_seg = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=1)
-        dqkv_ref[:, pl.ds(p * seg_w, seg_w), :] = (
-            dqkv_seg.astype(dt).reshape(ws8, seg_w, 3 * c))
+                lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
+                lab_r = lab.reshape(t, 1)
+                off = lab_r != lab_r.reshape(1, t)
+            o_heads = []
+            dq_heads, dk_heads, dv_heads = [], [], []
+            for h in range(num_heads):
+                q = qkv[:, h * dh : (h + 1) * dh]
+                k = qkv[:, c + h * dh : c + (h + 1) * dh]
+                v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
+                attn = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                ) + bias_ref[h * t : (h + 1) * t, :]
+                if has_mask:
+                    attn = jnp.where(off, -1e9, attn)
+                # mirror the forward primal's clipped softmax (the fwd kernel
+                # skips max-subtract via a +-80 clip): recomputing the EXACT
+                # softmax here would silently pair the clipped forward value
+                # with gradients of a different function if any score drifted
+                # past 80; the VPU softmax stays (the MXU ones-dot variant
+                # measured a 28% training regression — backward is MXU-bound)
+                attn = jax.nn.softmax(jnp.clip(attn, -80.0, 80.0), axis=-1)
+                attn_dt = attn.astype(dt)
+                o_heads.append(
+                    jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))
+                do_h = do_seg[:, h * dh : (h + 1) * dh]
+                dv_heads.append(jax.lax.dot_general(
+                    attn_dt, do_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                ds = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
+                dbias_ref[h * t : (h + 1) * t, :] += ds
+                ds_dt = ds.astype(dt)
+                dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
+                dk_heads.append(jax.lax.dot_general(
+                    ds_dt, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            o_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :] = (
+                jnp.concatenate(o_heads, axis=1).reshape(8, seg_w, c))
+            dqkv_seg = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=1)
+            dqkv_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :] = (
+                dqkv_seg.astype(dt).reshape(8, seg_w, 3 * c))
 
-    # --- qkv-projection + LN backward (slab-wide)
-    dqkv2 = dqkv_ref[:].reshape(ws8 * w, 3 * c)
+    # --- dwp: ONE block-wide dot (o^T dy) instead of n_seg RMW dots
+    dwp_ref[:] += jax.lax.dot_general(
+        o_ref[:].reshape(tokens, c), dy2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # --- qkv-projection + LN backward (block-wide)
+    dqkv2 = dqkv_ref[:].reshape(tokens, 3 * c)
     dbqkv_ref[:] += jnp.sum(dqkv2.astype(jnp.float32), axis=0, keepdims=True)
     dwqkv_ref[:] += jax.lax.dot_general(xn, dqkv2, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
@@ -597,7 +657,7 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
     dlnw_ref[:] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
     dlnb_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
     dx = _ln_bwd_rows(dxn, xhat, rstd, lnw_ref)
-    dx_ref[0] = dx.reshape(ws8, w, c).astype(dx_ref.dtype)
+    dx_ref[:] = dx.reshape(nb, ws8, w, c).astype(dx_ref.dtype)
 
 
 def _win_bwd_kernel_masked(x_ref, dy_ref, dpool_ref, lnw, lnb, wqkv, bqkv,
@@ -612,14 +672,32 @@ def _win_bwd_kernel_unmasked(*refs, num_heads, eps, seg_w):
                     has_mask=False)
 
 
+def _win_bwd_tiles(b: int, h: int, w: int) -> tuple[int, int]:
+    """(nb, rows) per backward grid step: batch window-rows, then samples,
+    until a step holds ~PALLAS_WIN_BWD_TOKENS tokens (default 2048). At the
+    train regime (64^2 maps) one 8-row slab is only 512 tokens and the step
+    is grid/DMA-latency-bound (~8.6 us/step for ~1 us of MXU work); at eval
+    sizes (512-column slabs) this reduces to the old (1, 1) tiling."""
+    target = int(os.environ.get("PALLAS_WIN_BWD_TOKENS", "2048"))
+    rows = max(1, min(h // 8, target // (8 * w)))
+    while (h // 8) % rows:
+        rows -= 1
+    nb = max(1, min(b, target // (8 * rows * w)))
+    while b % nb:
+        nb -= 1
+    return nb, rows
+
+
 def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
                   *, num_heads, eps, seg_w, interpret):
     b, h, w, c = x.shape
     dt = x.dtype
     t = 8 * seg_w
-    blk = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0),
+    nb, rows = _win_bwd_tiles(b, h, w)
+    ws8 = 8 * rows
+    blk = pl.BlockSpec((nb, ws8, w, c), lambda bi, i: (bi, i, 0, 0),
                        memory_space=pltpu.VMEM)
-    poolspec = pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+    poolspec = pl.BlockSpec((nb, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -639,7 +717,7 @@ def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
     if lab4d is not None:
         kern = functools.partial(_win_bwd_kernel_masked, num_heads=num_heads,
                                  eps=eps, seg_w=seg_w)
-        in_specs.append(pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, ws8, w, 1), lambda bi, i: (0, i, 0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(lab4d)
     else:
@@ -649,15 +727,16 @@ def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
     args += [wp.astype(dt), bp.astype(jnp.float32)]
     out = pl.pallas_call(
         kern,
-        grid=(b, h // 8),
+        grid=(b // nb, h // ws8),
         in_specs=in_specs,
         out_specs=[blk] + [s for s, _ in wacc],
         out_shape=[jax.ShapeDtypeStruct((b, h, w, c), dt)] + [d for _, d in wacc],
         scratch_shapes=[
-            pltpu.VMEM((8, w, 3 * c), dt),  # recomputed qkv
-            pltpu.VMEM((8, w, 3 * c), dt),  # dqkv
-            pltpu.VMEM((8, w, c), dt),      # do (pre-projection grad)
-            pltpu.VMEM((8, w, c), dt),      # dy_tot
+            pltpu.VMEM((nb * ws8, w, 3 * c), dt),  # recomputed qkv
+            pltpu.VMEM((nb * ws8, w, 3 * c), dt),  # dqkv
+            pltpu.VMEM((nb * ws8, w, c), dt),      # do (pre-projection grad)
+            pltpu.VMEM((nb * ws8, w, c), jnp.float32),  # dy_tot (f32)
+            pltpu.VMEM((nb * ws8, w, c), dt),      # recomputed attention out
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

@@ -98,14 +98,17 @@ def test_gdfn_vjp(residual):
     _grad_check(fused, ref, (x, ln_w, ln_b, w_in, w_dw, w_out), atol=2e-4)
 
 
-@pytest.mark.parametrize("masked", [False, True])
-def test_window_attention_vjp(masked):
+@pytest.mark.parametrize("masked,b", [(False, 1), (True, 1), (False, 4),
+                                      (True, 4)])
+def test_window_attention_vjp(masked, b):
     """LN + window-MSA backward: both outputs (map + per-window pooled
     means) carry cotangents; rel-pos-bias grads flow through segment_bias's
-    gather; the shift-region mask blocks cross-region gradient exactly."""
+    gather; the shift-region mask blocks cross-region gradient exactly.
+    b=4 exercises the batched backward tiling (nb=4, rows=2 per grid step —
+    _win_bwd_tiles); b=1 the single-sample rows=2 case."""
     from mp_hsir_tpu.ops.window import shifted_region_map, window_partition, window_reverse
 
-    b, h, w, c, heads = 1, 16, 16, 8, 2
+    h, w, c, heads = 16, 16, 8, 2
     dh = c // heads
     n = 64
     x = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
@@ -128,8 +131,9 @@ def test_window_attention_vjp(masked):
         att = jnp.einsum("whnd,whmd->whnm", q, qkv[1]) + rel_bias[None]
         if masked:
             lab = window_partition(
-                region.reshape(1, h, w, 1).astype(jnp.float32), 8
-            )[..., 0]  # (nW, 64)
+                jnp.broadcast_to(region.reshape(1, h, w, 1),
+                                 (b, h, w, 1)).astype(jnp.float32), 8
+            )[..., 0]  # (B*nW, 64)
             off = lab[:, :, None] != lab[:, None, :]
             att = jnp.where(off[:, None], -jnp.inf, att)
         att = jax.nn.softmax(att, axis=-1)

@@ -185,3 +185,94 @@ def test_train_pipeline_f16_upload(tmp_path):
             np.asarray(a["clean"]), np.asarray(b["clean"]), atol=6e-4)
         np.testing.assert_array_equal(
             np.asarray(a["task_id"]), np.asarray(b["task_id"]))
+
+
+def test_train_pipeline_uint16_upload(tmp_path):
+    """Fixed-point uint16 upload: same 2 bytes/value as float16 but a
+    uniform 1/65535 grid on [0,1] — outputs must sit within ~1.6e-5 of the
+    f32-upload stream (30x tighter than float16's ~5e-4)."""
+    from mp_hsir_tpu.config import TrainConfig
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+
+    rng = np.random.default_rng(3)
+    with PatchStoreWriter(str(tmp_path / "s")) as w:
+        for i in range(8):
+            w.add(rng.random((10, 32, 32)).astype(np.float32), f"WDC_{i}")
+    tc = TrainConfig(
+        seed=7, batch_size=4, data_type="natural_scene",
+        de_types=("gaussianN", "inpaint"), steps_per_epoch=2,
+    )
+    store = PatchStore(str(tmp_path / "s"))
+    p32 = TrainPipeline(store, tc, target_bands=None)
+    pu16 = TrainPipeline(store, tc, target_bands=None, upload_dtype="uint16")
+    b32 = [dict(b) for b in p32.epoch(0, steps=2)]
+    bu = [dict(b) for b in pu16.epoch(0, steps=2)]
+    for a, b in zip(b32, bu):
+        assert np.asarray(b["clean"]).dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(a["clean"]), np.asarray(b["clean"]), atol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(a["task_id"]), np.asarray(b["task_id"]))
+
+
+def test_train_pipeline_resident_bank_parity(tmp_path):
+    """Resident-bank mode with the bank covering the store and refresh off
+    yields a stream BIT-IDENTICAL to the streaming producer path (same
+    permutation, same degrade keys — only the gather moves on-device)."""
+    from mp_hsir_tpu.config import TrainConfig
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+
+    rng = np.random.default_rng(5)
+    with PatchStoreWriter(str(tmp_path / "s")) as w:
+        for i in range(8):
+            w.add(rng.random((10, 32, 32)).astype(np.float32), f"WDC_{i}")
+    tc = TrainConfig(
+        seed=7, batch_size=4, data_type="natural_scene",
+        de_types=("gaussianN", "inpaint"), steps_per_epoch=3,
+    )
+    store = PatchStore(str(tmp_path / "s"))
+    stream = TrainPipeline(store, tc, target_bands=None)
+    res = TrainPipeline(store, tc, target_bands=None, resident=True)
+    bs = [dict(b) for b in stream.epoch(0, steps=3)]
+    br = [dict(b) for b in res.epoch(0, steps=3)]
+    for a, b in zip(bs, br):
+        np.testing.assert_array_equal(np.asarray(a["degraded"]),
+                                      np.asarray(b["degraded"]))
+        np.testing.assert_array_equal(np.asarray(a["clean"]),
+                                      np.asarray(b["clean"]))
+        np.testing.assert_array_equal(np.asarray(a["task_id"]),
+                                      np.asarray(b["task_id"]))
+
+
+def test_train_pipeline_resident_refresh(tmp_path):
+    """Background bank refresh rotates store content through bank slots:
+    with a bank half the store and refresh_per_step set, later steps see
+    patches that were NOT in the initial bank; shapes/dtypes stay sane."""
+    from mp_hsir_tpu.config import TrainConfig
+    from mp_hsir_tpu.data.patch_store import PatchStore, PatchStoreWriter
+    from mp_hsir_tpu.data.train_pipeline import TrainPipeline
+
+    rng = np.random.default_rng(9)
+    patches = [rng.random((6, 16, 16)).astype(np.float32) for _ in range(8)]
+    with PatchStoreWriter(str(tmp_path / "s")) as w:
+        for i, p in enumerate(patches):
+            w.add(p, f"WDC_{i}")
+    tc = TrainConfig(
+        seed=3, batch_size=4, data_type="natural_scene",
+        de_types=("gaussianN",), steps_per_epoch=4,
+    )
+    store = PatchStore(str(tmp_path / "s"))
+    pipe = TrainPipeline(store, tc, target_bands=None, resident=True,
+                         bank_patches=4, refresh_per_step=1)
+    out = [dict(b) for b in pipe.epoch(0, steps=4)]
+    assert len(out) == 4
+    for b in out:
+        assert np.asarray(b["degraded"]).shape == (4, 6, 16, 16)
+        assert np.asarray(b["clean"]).dtype == np.float32
+    # 4 steps x 1 refresh rotate store patches 4..7 into slots 0..3: the
+    # final bank holds exactly the patches absent from the initial bank
+    bank = np.asarray(pipe._bank)
+    for i in range(4):
+        np.testing.assert_allclose(bank[i], patches[4 + i], atol=1e-6)

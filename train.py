@@ -36,6 +36,19 @@ def build_parser():
     p.add_argument("--mesh_spatial", type=int, default=1)
     p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--upload_dtype", type=str, default="float32",
+                   choices=["float32", "float16", "bfloat16", "uint16"],
+                   help="host->device dtype for clean patches (16-bit halves "
+                        "link bytes; uint16 = fixed-point [0,1])")
+    p.add_argument("--resident_bank", action="store_true",
+                   help="upload the patch store to HBM once and gather "
+                        "batches on device (zero steady-state upload)")
+    p.add_argument("--bank_patches", type=int, default=None,
+                   help="cap the resident bank size (patches)")
+    p.add_argument("--refresh_per_step", type=int, default=0,
+                   help="fresh patches streamed into resident-bank slots per step")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="producer look-ahead (batches in flight)")
     p.add_argument("--dim", type=int, default=None, help="model width override")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
@@ -101,6 +114,9 @@ def main(argv=None):
         db_path=args.db_path, ckpt_dir=args.ckpt_dir,
         ckpt_every_epochs=args.ckpt_every_epochs, grad_accum=args.grad_accum,
         mesh_data=mesh_data, mesh_spatial=args.mesh_spatial, log_every=args.log_every,
+        upload_dtype=args.upload_dtype, resident_bank=args.resident_bank,
+        bank_patches=args.bank_patches, refresh_per_step=args.refresh_per_step,
+        prefetch=args.prefetch,
     )
 
     # templates synthesized at the training patch size (the reference
@@ -108,7 +124,10 @@ def main(argv=None):
     cirrus = (np.stack([default_cirrus(tc.patch_size, tc.patch_size, seed=s)
                         for s in range(4)])
               if "haze" in tc.de_types_resolved() else None)
-    pipeline = TrainPipeline(store, tc, cirrus_bank=cirrus, target_bands=target_bands)
+    pipeline = TrainPipeline(store, tc, cirrus_bank=cirrus, target_bands=target_bands,
+                             prefetch=tc.prefetch, upload_dtype=tc.upload_dtype,
+                             resident=tc.resident_bank, bank_patches=tc.bank_patches,
+                             refresh_per_step=tc.refresh_per_step)
 
     state = create_train_state(mc, tc, jax.random.key(args.seed))
     if args.ckpt_path:
