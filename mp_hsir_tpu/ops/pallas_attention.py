@@ -1589,36 +1589,57 @@ def _spectral_raw_call(
 # ---------------------------------------------------------------------------
 
 
-def _sp_build_x10(x_top, x_mid, x_bot, htop_ref, hbot_ref, edge_ref, i, n_slab,
+def _sp_rows(h: int, w: int) -> int:
+    """8-row slabs per spectral grid step: batch window-rows until a step
+    holds ~PALLAS_SP_TOKENS tokens (default 4096). At eval widths (512-col
+    maps) this stays 1 — the original one-slab tiling; at the train regime
+    (64^2 maps) one step processes the whole map. These kernels are
+    VPU/MXU-light per token, so the per-step grid fixed cost dominated the
+    (B, H/8) sweeps (measured: the same tiling on the window backward)."""
+    target = int(os.environ.get("PALLAS_SP_TOKENS", "4096"))
+    n_slab = h // 8
+    rows = max(1, min(n_slab, target // (8 * w)))
+    while n_slab % rows:
+        rows -= 1
+    return rows
+
+
+def _sp_build_x10(x_top, x_mid, x_bot, htop_ref, hbot_ref, edge_ref, i, n_tile,
                   ln, lnw_ref, lnb_ref, eps, dt, w, c):
-    """(10, W, C) slab in conv space: interior halo rows from the clamped
-    neighbor blocks, shard-boundary rows from the exchanged halos, true
-    image edges zeroed POST-LN (matching the fused kernel's ordering)."""
+    """(ws+2, W, C) tile in conv space (ws = 8*rows mid rows): interior halo
+    rows from the clamped neighbor blocks, shard-boundary rows from the
+    exchanged halos, true image edges zeroed POST-LN (matching the fused
+    kernel's ordering). LN is per-row, so tiling does not change any row's
+    normalized value."""
+    ws = x_mid.shape[1]
     top_row = jnp.where(i > 0, x_top[0], htop_ref[0])
-    bot_row = jnp.where(i < n_slab - 1, x_bot[0], hbot_ref[0])
+    bot_row = jnp.where(i < n_tile - 1, x_bot[0], hbot_ref[0])
     x10 = jnp.concatenate([top_row, x_mid[0], bot_row], axis=0)
     if ln:
-        x10 = _ln_rows(x10.reshape(10 * w, c), lnw_ref, lnb_ref, eps, dt).reshape(10, w, c)
+        x10 = _ln_rows(x10.reshape((ws + 2) * w, c), lnw_ref, lnb_ref, eps,
+                       dt).reshape(ws + 2, w, c)
     # zero the halo row only when it is a TRUE image edge (edge_ref scalars:
     # [global_top, global_bot] int32)
     top_edge = jnp.logical_and(i == 0, edge_ref[0] == 1)
-    bot_edge = jnp.logical_and(i == n_slab - 1, edge_ref[1] == 1)
+    bot_edge = jnp.logical_and(i == n_tile - 1, edge_ref[1] == 1)
     top = jnp.where(top_edge, jnp.zeros_like(x10[:1]), x10[:1])
-    bot = jnp.where(bot_edge, jnp.zeros_like(x10[9:]), x10[9:])
-    return jnp.concatenate([top, x10[1:9], bot], axis=0)
+    bot = jnp.where(bot_edge, jnp.zeros_like(x10[ws + 1 :]), x10[ws + 1 :])
+    return jnp.concatenate([top, x10[1 : ws + 1], bot], axis=0)
 
 
 def _sp_qkv_slab(x10, wqkv_ref, wdw_ref, lane_lo, lane_hi, dt, w, c):
+    ws = x10.shape[0] - 2
     wq = wqkv_ref[:, lane_lo:lane_hi]
-    t = jnp.dot(x10.reshape(10 * w, c), wq, preferred_element_type=jnp.float32)
-    t = t.astype(dt).reshape(10, w, lane_hi - lane_lo)
+    t = jnp.dot(x10.reshape((ws + 2) * w, c), wq,
+                preferred_element_type=jnp.float32)
+    t = t.astype(dt).reshape(ws + 2, w, lane_hi - lane_lo)
     tp = jnp.pad(t, ((0, 0), (1, 1), (0, 0)))
-    acc = jnp.zeros((8, w, lane_hi - lane_lo), jnp.float32)
+    acc = jnp.zeros((ws, w, lane_hi - lane_lo), jnp.float32)
     for dr in range(3):
         for dc in range(3):
             wtap = wdw_ref[dr * 3 + dc, lane_lo:lane_hi].astype(jnp.float32)
-            acc = acc + tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32) * wtap
-    return acc.astype(dt).reshape(8 * w, lane_hi - lane_lo)
+            acc = acc + tp[dr : dr + ws, dc : dc + w, :].astype(jnp.float32) * wtap
+    return acc.astype(dt).reshape(ws * w, lane_hi - lane_lo)
 
 
 def _sp0_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
@@ -1690,11 +1711,13 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
     acc_dt = jnp.float32 if has_dp else dt
     y = y.reshape(ws8, w, c).astype(acc_dt)
     if has_gate:
-        g = gate_ref[0, 0]  # (W/8, C)
         emat = _window_expand_mat(w)
-        gb = jnp.dot(emat, g.astype(jnp.float32),
-                     preferred_element_type=jnp.float32).astype(acc_dt)
-        y = x_mid[0].astype(acc_dt) * gb[None] + y
+        gparts = []
+        for r in range(ws8 // 8):  # one (W/8, C) gate row per window-row
+            gb = jnp.dot(emat, gate_ref[0, r].astype(jnp.float32),
+                         preferred_element_type=jnp.float32).astype(acc_dt)
+            gparts.append(jnp.broadcast_to(gb[None], (8, w, c)))
+        y = x_mid[0].astype(acc_dt) * jnp.concatenate(gparts, axis=0) + y
     if has_gate_map:
         # full-resolution per-pixel gate (sharded shifted blocks: the caller
         # rolls the window gates into the unrolled frame explicitly)
@@ -1712,10 +1735,10 @@ def _sp1_kernel(x_top, x_mid, x_bot, htop, hbot, edge, wqkv_ref, wdw_ref,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _sp_stream_specs(h, w, c):
-    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
-    top_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0), memory_space=pltpu.VMEM)
-    bot_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0), memory_space=pltpu.VMEM)
+def _sp_stream_specs(h, w, c, ws=8):
+    stream = pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM)
+    top_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.maximum(ws * i - 1, 0), 0, 0), memory_space=pltpu.VMEM)
+    bot_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, jnp.minimum(ws * i + ws, h - 1), 0, 0), memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0), memory_space=pltpu.VMEM)
     return stream, top_spec, bot_spec, row_spec
 
@@ -1730,10 +1753,11 @@ def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
     assert h % 8 == 0, h
     cl = wqkv2.shape[1] // 3
     dh = cl // num_heads
-    n_slab = h // 8
+    rows = _sp_rows(h, w)
+    n_tile = h // (8 * rows)
     dt = x.dtype
     ln = ln_w is not None
-    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c)
+    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c, 8 * rows)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -1743,11 +1767,11 @@ def _sp0_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, ln_w, ln_b, *,
     if ln:
         in_specs0 += [full, full]
         args0 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
-    k0 = functools.partial(_sp0_kernel, num_heads=num_heads, n_slab=n_slab,
+    k0 = functools.partial(_sp0_kernel, num_heads=num_heads, n_slab=n_tile,
                            ln=ln, eps=eps)
     return pl.pallas_call(
         k0,
-        grid=(b, n_slab),
+        grid=(b, n_tile),
         in_specs=in_specs0,
         out_specs=[
             pl.BlockSpec((1, cl, dh), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -1769,10 +1793,11 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
               residual, interpret):
     """Shard-local phase 1: y = dwconv_v(x) @ comb[b] (+ PGSSTB epilogue)."""
     b, h, w, c = x.shape
-    n_slab = h // 8
+    rows = _sp_rows(h, w)
+    n_tile = h // (8 * rows)
     dt = x.dtype
     ln = ln_w is not None
-    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c)
+    stream, top_spec, bot_spec, row_spec = _sp_stream_specs(h, w, c, 8 * rows)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     # comb is (B, CL, C): CL == C except under spectral TP (local head block)
@@ -1787,7 +1812,7 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
         in_specs1 += [full, full]
         args1 += [ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)]
     if gate is not None:
-        in_specs1.append(pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+        in_specs1.append(pl.BlockSpec((1, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0),
                                       memory_space=pltpu.VMEM))
         args1.append(gate.astype(dt))
     if gate_map is not None:
@@ -1799,7 +1824,7 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
     if dp_scale is not None:
         in_specs1.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args1.append(dp_scale.astype(jnp.float32))
-    k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_slab,
+    k1 = functools.partial(_sp1_kernel, num_heads=num_heads, n_slab=n_tile,
                            ln=ln, eps=eps, residual=residual,
                            has_gate=gate is not None,
                            has_gate_map=gate_map is not None,
@@ -1807,7 +1832,7 @@ def _sp1_call(x, halo_top, halo_bot, edge, wqkv2, wdw2, comb, ln_w, ln_b,
                            has_dp=dp_scale is not None)
     return pl.pallas_call(
         k1,
-        grid=(b, n_slab),
+        grid=(b, n_tile),
         in_specs=in_specs1,
         out_specs=stream,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), dt),

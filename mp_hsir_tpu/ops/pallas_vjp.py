@@ -71,21 +71,23 @@ def _ln_bwd_rows(dxn, xhat, rstd, lnw):
 
 
 def _fold_halo_rows(dx, dtopc, dbotc):
-    """Fold per-slab single-row halo gradients into dx: slab i's depthwise
-    taps touched x rows 8i-1 (-> dtopc[i], i>0) and 8i+8 (-> dbotc[i],
-    i<n_slab-1). Implemented with STATIC row indices on the (B, ns, 8, W, C)
-    view — a strided `.at[7::8].add` lowers to a scatter, which measured
-    slow on TPU in the training step."""
+    """Fold per-tile single-row halo gradients into dx: tile i's depthwise
+    taps touched x rows ws*i-1 (-> dtopc[i], i>0) and ws*i+ws (-> dbotc[i],
+    i<n_tile-1); ws (= 8*rows, the tile height) is inferred from the shapes.
+    Implemented with STATIC row indices on the (B, nt, ws, W, C) view — a
+    strided `.at[ws-1::ws].add` lowers to a scatter, which measured slow on
+    TPU in the training step."""
     b, h, w, c = dx.shape
-    ns = h // 8
-    if ns <= 1:
+    nt = dtopc.shape[1]
+    ws = h // nt
+    if nt <= 1:
         return dx
-    dxr = dx.reshape(b, ns, 8, w, c).astype(jnp.float32)
+    dxr = dx.reshape(b, nt, ws, w, c).astype(jnp.float32)
     zrow = jnp.zeros((b, 1, w, c), jnp.float32)
-    # row 7 of slab s accumulates dtopc[s+1]; row 0 of slab s, dbotc[s-1]
+    # last row of tile t accumulates dtopc[t+1]; row 0 of tile t, dbotc[t-1]
     top_next = jnp.concatenate([dtopc[:, 1:].astype(jnp.float32), zrow], axis=1)
     bot_prev = jnp.concatenate([zrow, dbotc[:, :-1].astype(jnp.float32)], axis=1)
-    dxr = dxr.at[:, :, 7].add(top_next)
+    dxr = dxr.at[:, :, ws - 1].add(top_next)
     dxr = dxr.at[:, :, 0].add(bot_prev)
     return dxr.reshape(b, h, w, c).astype(dx.dtype)
 
@@ -1224,82 +1226,86 @@ def _float0_zeros(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-def _sp_build_x10_bwd(x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_slab,
+def _sp_build_x10_bwd(x_top, x_mid, x_bot, htop, hbot, edge_ref, i, n_tile,
                       ln, lnw_ref, lnb_ref, eps, dt, w, c):
-    """Rebuild the forward's (10, W, C) conv-space slab, keeping the LN
+    """Rebuild the forward's (ws+2, W, C) conv-space tile, keeping the LN
     residuals and the edge flags for the backward pass. Mirrors
     pallas_attention._sp_build_x10 (LN first, true-edge rows zeroed
     POST-LN)."""
+    ws = x_mid.shape[1]
     top_row = jnp.where(i > 0, x_top[0], htop[0])
-    bot_row = jnp.where(i < n_slab - 1, x_bot[0], hbot[0])
+    bot_row = jnp.where(i < n_tile - 1, x_bot[0], hbot[0])
     x10r = jnp.concatenate([top_row, x_mid[0], bot_row], axis=0)
     if ln:
-        xn_f32, xhat, rstd = _ln_fwd_rows(x10r.reshape(10 * w, c),
+        xn_f32, xhat, rstd = _ln_fwd_rows(x10r.reshape((ws + 2) * w, c),
                                           lnw_ref, lnb_ref, eps)
-        xn = xn_f32.astype(dt).reshape(10, w, c)
+        xn = xn_f32.astype(dt).reshape(ws + 2, w, c)
     else:
         xn, xhat, rstd = x10r, None, None
     top_edge = jnp.logical_and(i == 0, edge_ref[0] == 1)
-    bot_edge = jnp.logical_and(i == n_slab - 1, edge_ref[1] == 1)
+    bot_edge = jnp.logical_and(i == n_tile - 1, edge_ref[1] == 1)
     top = jnp.where(top_edge, jnp.zeros_like(xn[:1]), xn[:1])
-    bot = jnp.where(bot_edge, jnp.zeros_like(xn[9:]), xn[9:])
-    x10 = jnp.concatenate([top, xn[1:9], bot], axis=0)
+    bot = jnp.where(bot_edge, jnp.zeros_like(xn[ws + 1 :]), xn[ws + 1 :])
+    x10 = jnp.concatenate([top, xn[1 : ws + 1], bot], axis=0)
     return x10, xhat, rstd, top_edge, bot_edge
 
 
 def _sp_taps_fwd(x10, w2_ref, wdw_ref, dt, w, c, cl):
     """1x1 conv + padded depthwise taps on a pre-sliced (C, CL) weight pair:
-    returns (tp (10, W+2, CL) dt, out (8W, CL) dt) — the forward intermediates
-    the backward needs."""
-    t = jnp.dot(x10.reshape(10 * w, c), w2_ref[:],
+    returns (tp (ws+2, W+2, CL) dt, out (ws*W, CL) dt) — the forward
+    intermediates the backward needs."""
+    ws = x10.shape[0] - 2
+    t = jnp.dot(x10.reshape((ws + 2) * w, c), w2_ref[:],
                 preferred_element_type=jnp.float32)
-    tp = jnp.pad(t.astype(dt).reshape(10, w, cl), ((0, 0), (1, 1), (0, 0)))
-    acc = jnp.zeros((8, w, cl), jnp.float32)
+    tp = jnp.pad(t.astype(dt).reshape(ws + 2, w, cl), ((0, 0), (1, 1), (0, 0)))
+    acc = jnp.zeros((ws, w, cl), jnp.float32)
     for dr in range(3):
         for dc in range(3):
             wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
-            acc = acc + tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32) * wtap
-    return tp, acc.astype(dt).reshape(8 * w, cl)
+            acc = acc + tp[dr : dr + ws, dc : dc + w, :].astype(jnp.float32) * wtap
+    return tp, acc.astype(dt).reshape(ws * w, cl)
 
 
 def _sp_taps_bwd(dacc, tp, x10, w2_ref, wdw_ref, dw2_ref, dwdw_ref, dtp_scr,
                  dt, w, c, cl):
     """VJP through the depthwise taps + 1x1 conv; accumulates dw2/dwdw and
-    returns dxn10 (10, W, C) f32 (cotangent at the conv input = the LN'd,
-    edge-masked slab)."""
+    returns dxn10 (ws+2, W, C) f32 (cotangent at the conv input = the LN'd,
+    edge-masked tile)."""
+    ws = x10.shape[0] - 2
     dtp_scr[:] = jnp.zeros_like(dtp_scr)
-    dacc3 = dacc.reshape(8, w, cl)
+    dacc3 = dacc.reshape(ws, w, cl)
     for dr in range(3):
         for dc in range(3):
             wtap = wdw_ref[dr * 3 + dc, :].astype(jnp.float32)
             dwdw_ref[dr * 3 + dc, :] += jnp.sum(
-                dacc3 * tp[dr : dr + 8, dc : dc + w, :].astype(jnp.float32),
+                dacc3 * tp[dr : dr + ws, dc : dc + w, :].astype(jnp.float32),
                 axis=(0, 1))
-            dtp_scr[dr : dr + 8, dc : dc + w, :] += dacc3 * wtap
-    dt10 = dtp_scr[:, 1 : w + 1, :].reshape(10 * w, cl).astype(dt)
+            dtp_scr[dr : dr + ws, dc : dc + w, :] += dacc3 * wtap
+    dt10 = dtp_scr[:, 1 : w + 1, :].reshape((ws + 2) * w, cl).astype(dt)
     dw2_ref[:] += jax.lax.dot_general(
-        x10.reshape(10 * w, c), dt10, (((0,), (0,)), ((), ())),
+        x10.reshape((ws + 2) * w, c), dt10, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dxn10 = jax.lax.dot_general(dt10, w2_ref[:], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    return dxn10.reshape(10, w, c)
+    return dxn10.reshape(ws + 2, w, c)
 
 
 def _sp_rows_out(dxn10, top_edge, bot_edge, ln, xhat, rstd, lnw_ref,
                  dlnw_ref, dlnb_ref, w, c):
     """Zero the true-edge cotangent rows, back through the (optional) LN and
-    split into (dx_mid (8,W,C), dtop_row, dbot_row) f32."""
+    split into (dx_mid (ws,W,C), dtop_row, dbot_row) f32."""
+    ws = dxn10.shape[0] - 2
     ztop = jnp.where(top_edge, jnp.zeros_like(dxn10[:1]), dxn10[:1])
-    zbot = jnp.where(bot_edge, jnp.zeros_like(dxn10[9:]), dxn10[9:])
-    dxn10 = jnp.concatenate([ztop, dxn10[1:9], zbot], axis=0)
+    zbot = jnp.where(bot_edge, jnp.zeros_like(dxn10[ws + 1 :]), dxn10[ws + 1 :])
+    dxn10 = jnp.concatenate([ztop, dxn10[1 : ws + 1], zbot], axis=0)
     if ln:
-        dxn2 = dxn10.reshape(10 * w, c)
+        dxn2 = dxn10.reshape((ws + 2) * w, c)
         dlnw_ref[:] += jnp.sum(dxn2 * xhat, axis=0, keepdims=True)
         dlnb_ref[:] += jnp.sum(dxn2, axis=0, keepdims=True)
-        dx10 = _ln_bwd_rows(dxn2, xhat, rstd, lnw_ref).reshape(10, w, c)
+        dx10 = _ln_bwd_rows(dxn2, xhat, rstd, lnw_ref).reshape(ws + 2, w, c)
     else:
         dx10 = dxn10
-    return dx10[1:9], dx10[:1], dx10[9:]
+    return dx10[1 : ws + 1], dx10[:1], dx10[ws + 1 :]
 
 
 def _sp0_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wqk_ref,
@@ -1438,19 +1444,23 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     if has_gate:
         from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
 
-        g = gate_ref[0, 0]  # (W/8, C)
         emat = _window_expand_mat(w)
-        gb = jnp.dot(emat, g.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        dx_mid = dx_mid + dy3 * gb[None]
-        dgb = jnp.sum(dy3 * x_mid[0].astype(jnp.float32), axis=0)  # (W, C)
-        dgate_ref[0, 0] = jax.lax.dot_general(
-            emat, dgb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dgate_ref.dtype)
+        gparts = []
+        for r in range(ws8 // 8):  # one (W/8, C) gate row per window-row
+            gb = jnp.dot(emat, gate_ref[0, r].astype(jnp.float32),
+                         preferred_element_type=jnp.float32)  # (W, C)
+            gparts.append(jnp.broadcast_to(gb[None], (8, w, c)))
+            dgb = jnp.sum(dy3[8 * r : 8 * r + 8]
+                          * x_mid[0, 8 * r : 8 * r + 8].astype(jnp.float32),
+                          axis=0)  # (W, C)
+            dgate_ref[0, r] = jax.lax.dot_general(
+                emat, dgb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dgate_ref.dtype)
+        gb_all = jnp.concatenate(gparts, axis=0)  # (ws, W, C) f32
+        dx_mid = dx_mid + dy3 * gb_all
         if has_dp:
             branch = branch + (x_mid[0].astype(jnp.float32)
-                               * gb[None].astype(jnp.float32)
-                               ).astype(branch.dtype)
+                               * gb_all).astype(branch.dtype)
     if has_gate_map:
         dx_mid = dx_mid + dy3 * gmap_ref[0].astype(jnp.float32)
         dgmap_ref[0] = (dy3 * x_mid[0].astype(jnp.float32)).astype(dgmap_ref.dtype)
@@ -1470,14 +1480,14 @@ def _sp1_bwd_kernel(x_top, x_mid, x_bot, htop, hbot, edge_ref, wv_ref,
     dbot_ref[0, 0] = dbot_row[0].astype(dbot_ref.dtype)
 
 
-def _sp_bwd_specs(b, h, w, c, n_slab):
-    stream = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, i, 0, 0),
+def _sp_bwd_specs(b, h, w, c, ws=8):
+    stream = pl.BlockSpec((1, ws, w, c), lambda bi, i: (bi, i, 0, 0),
                           memory_space=pltpu.VMEM)
     top_spec = pl.BlockSpec((1, 1, w, c),
-                            lambda bi, i: (bi, jnp.maximum(8 * i - 1, 0), 0, 0),
+                            lambda bi, i: (bi, jnp.maximum(ws * i - 1, 0), 0, 0),
                             memory_space=pltpu.VMEM)
     bot_spec = pl.BlockSpec((1, 1, w, c),
-                            lambda bi, i: (bi, jnp.minimum(8 * i + 8, h - 1), 0, 0),
+                            lambda bi, i: (bi, jnp.minimum(ws * i + ws, h - 1), 0, 0),
                             memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, 1, w, c), lambda bi, i: (bi, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1494,14 +1504,18 @@ def _acc_spec(shape):
 
 def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
                   dgram, dnq, dnk, *, num_heads, eps, interpret):
+    from mp_hsir_tpu.ops.pallas_attention import _sp_rows
+
     b, h, w, c = x.shape
     dt = x.dtype
-    n_slab = h // 8
+    rows = _sp_rows(h, w)
+    ws = 8 * rows
+    n_tile = h // ws
     ln = ln_w is not None
     # local q/k/v section width (== c except under spectral TP)
     cl = wqkv2.shape[1] // 3
     dh = cl // num_heads
-    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
+    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, ws)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     stat = lambda d2: pl.BlockSpec((1,) + d2, lambda bi, i: (bi, 0, 0),
@@ -1521,18 +1535,18 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
     if ln:
         wacc += [_acc_spec((1, c)), _acc_spec((1, c))]
     kern = functools.partial(_sp0_bwd_kernel, num_heads=num_heads,
-                             n_slab=n_slab, ln=ln, eps=eps)
+                             n_slab=n_tile, ln=ln, eps=eps)
     out = pl.pallas_call(
         kern,
-        grid=(b, n_slab),
+        grid=(b, n_tile),
         in_specs=in_specs,
         out_specs=[stream, rows_out, rows_out] + [s for s, _ in wacc],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, w, c), dt),
-            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
-            jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_tile, w, c), dt),
+            jax.ShapeDtypeStruct((b, n_tile, w, c), dt),
         ] + [d for _, d in wacc],
-        scratch_shapes=[pltpu.VMEM((10, w + 2, 2 * cl), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ws + 2, w + 2, 2 * cl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
@@ -1547,18 +1561,22 @@ def _sp0_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, ln_w, ln_b,
 def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
                   gate, gate_map, dp_scale, *, num_heads, eps, residual,
                   interpret):
+    from mp_hsir_tpu.ops.pallas_attention import _sp_rows
+
     b, h, w, c = x.shape
     dt = x.dtype
-    n_slab = h // 8
+    rows = _sp_rows(h, w)
+    ws = 8 * rows
+    n_tile = h // ws
     ln = ln_w is not None
     # local v width (== c except under spectral TP); comb is (B, cl, c)
     cl = wqkv2.shape[1] // 3
-    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, n_slab)
+    stream, top_spec, bot_spec, row_spec, rows_out = _sp_bwd_specs(b, h, w, c, ws)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     comb_spec = pl.BlockSpec((1, cl, c), lambda bi, i: (bi, 0, 0),
                              memory_space=pltpu.VMEM)
-    gate_spec = pl.BlockSpec((1, 1, w // 8, c), lambda bi, i: (bi, i, 0, 0),
+    gate_spec = pl.BlockSpec((1, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0),
                              memory_space=pltpu.VMEM)
 
     in_specs = [top_spec, stream, bot_spec, row_spec, row_spec, smem, full,
@@ -1582,8 +1600,8 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
     out_specs = [stream, rows_out, rows_out] + [s for s, _ in wacc] + [comb_spec]
     out_shape = [
         jax.ShapeDtypeStruct((b, h, w, c), dt),
-        jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
-        jax.ShapeDtypeStruct((b, n_slab, w, c), dt),
+        jax.ShapeDtypeStruct((b, n_tile, w, c), dt),
+        jax.ShapeDtypeStruct((b, n_tile, w, c), dt),
     ] + [d for _, d in wacc] + [jax.ShapeDtypeStruct((b, cl, c), jnp.float32)]
     if ln:
         out_specs += [_acc_spec((1, c))[0], _acc_spec((1, c))[0]]
@@ -1601,17 +1619,17 @@ def _sp1_bwd_call(x, htop, hbot, edge, wqkv2, wdw2, comb, dy, ln_w, ln_b,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, 8, c), jnp.float32))
     kern = functools.partial(_sp1_bwd_kernel, num_heads=num_heads,
-                             n_slab=n_slab, ln=ln, eps=eps, residual=residual,
+                             n_slab=n_tile, ln=ln, eps=eps, residual=residual,
                              has_gate=gate is not None,
                              has_gate_map=gate_map is not None,
                              has_dp=dp_scale is not None)
     out = list(pl.pallas_call(
         kern,
-        grid=(b, n_slab),
+        grid=(b, n_tile),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((10, w + 2, cl), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((ws + 2, w + 2, cl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args))
