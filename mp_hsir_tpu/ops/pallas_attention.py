@@ -399,6 +399,27 @@ def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
                  has_mask=True, lab_ref=lab)
 
 
+def _nhwc_kernel_masked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp,
+                              out_ref, pooled_ref, o_out, qkv_scr, *,
+                              num_heads, eps, seg_w):
+    # save_o: the pre-projection attention output is an OUTPUT block (the
+    # training forward saves it as a residual so the backward kernel skips
+    # the attn@v recompute dot and uses the flash-style delta identity —
+    # see pallas_vjp._win_bwd_kernel). o_out doubles as the kernel's o
+    # buffer (Pallas output blocks are read-write within a grid step).
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
+                 qkv_scr, o_out.at[0], num_heads=num_heads, eps=eps,
+                 seg_w=seg_w, has_mask=True, lab_ref=lab)
+
+
+def _nhwc_kernel_unmasked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp,
+                                out_ref, pooled_ref, o_out, qkv_scr, *,
+                                num_heads, eps, seg_w):
+    _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
+                 qkv_scr, o_out.at[0], num_heads=num_heads, eps=eps,
+                 seg_w=seg_w, has_mask=False)
+
+
 def _nhwc_kernel_masked_shift(x_ref, x_nxt, lnw, lnb, wqkv, bqkv, bias, lab, wp,
                               bp, out_ref, pooled_ref, qkv_scr, o_scr, *,
                               num_heads, eps, seg_w):
@@ -487,7 +508,7 @@ def fused_ln_window_attention_nhwc(
 
 def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
                   num_heads, eps, seg_w, shift_in, interpret, rows=1,
-                  sp_qk=None):
+                  sp_qk=None, save_o=False):
     """Raw (non-differentiable) forward pallas_call on PREPARED args (scale
     already folded into wqkv/bqkv, bias2d segment-ordered); weights arrive
     f32 and are cast to the compute dtype here. ``rows`` = window-rows per
@@ -524,7 +545,7 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # bp
     ]
     if shift_in:
-        assert region_map is not None
+        assert region_map is not None and not save_o
         n_slab = h // 8
         lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
         lspec = pl.BlockSpec((1, 8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
@@ -537,30 +558,41 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
     elif region_map is not None:
         lab4d = region_map.reshape(1, h, w, 1).astype(jnp.int32)
         lspec = pl.BlockSpec((1, ws8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
-        kern = functools.partial(_nhwc_kernel_masked, num_heads=num_heads, eps=eps, seg_w=seg_w)
+        kern = functools.partial(
+            _nhwc_kernel_masked_saveo if save_o else _nhwc_kernel_masked,
+            num_heads=num_heads, eps=eps, seg_w=seg_w)
         in_specs = [xspec] + common + [lspec] + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     else:
-        kern = functools.partial(_nhwc_kernel_unmasked, num_heads=num_heads, eps=eps, seg_w=seg_w)
+        kern = functools.partial(
+            _nhwc_kernel_unmasked_saveo if save_o else _nhwc_kernel_unmasked,
+            num_heads=num_heads, eps=eps, seg_w=seg_w)
         in_specs = [xspec] + common + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
 
+    out_specs = [
+        pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
+    ]
+    scratch = [pltpu.VMEM((ws8, w, 3 * c), x.dtype)]  # slab qkv
+    if save_o:
+        # pre-projection attention out saved as a residual for the backward
+        out_specs.append(pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, w, c), x.dtype))
+    else:
+        scratch.append(pltpu.VMEM((ws8, w, c), x.dtype))
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, w // 8, c), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
-            jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((ws8, w, 3 * c), x.dtype),  # slab qkv
-            pltpu.VMEM((ws8, w, c), x.dtype),      # pre-projection attention out
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         # the in-kernel pooled-mean epilogue pushes the 512-wide d128 slab
         # just past the default 16MB scoped-vmem cap; v5e has 128MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),

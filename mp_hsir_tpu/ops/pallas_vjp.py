@@ -528,14 +528,18 @@ def gdfn_fused(x, ln_w, ln_b, w_in2, w_dw2, w_out2, *, hidden, eps, residual,
 # ---------------------------------------------------------------------------
 
 
-def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
-                    bqkv_ref, bias_ref, wp_ref, bp_ref,
+def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw_ref, lnb_ref,
+                    wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref,
                     dx_ref, dwqkv_ref, dbqkv_ref, dbias_ref, dwp_ref, dbp_ref,
                     dlnw_ref, dlnb_ref, qkv_ref, dqkv_ref, do_ref, dyt_ref,
-                    o_ref, *, num_heads, eps, seg_w, has_mask, lab_ref=None):
+                    *, num_heads, eps, seg_w, has_mask, lab_ref=None):
     """Exact VJP of _nhwc_kernel (shift_in=False): recompute LN/qkv/attention
     per 128-token segment and run the standard attention backward
-    (dv = A^T do, dS = A ⊙ (dA − rowsum(dA⊙A)), dq = dS k, dk = dS^T q).
+    (dv = A^T do, dS = A ⊙ (dA − delta), dq = dS k, dk = dS^T q). The
+    pre-projection attention output o arrives as a RESIDUAL from the
+    forward (save_o output), which removes the attn@v recompute dot and —
+    via the flash-attention identity rowsum(dA ⊙ A) == rowsum(do ⊙ o) —
+    replaces the (T, T) elementwise+reduce with a (T, dh) one.
     The pooled-mean second output backflows as dy += expand(dpool)/64. The
     -1e9 cross-window bias entries give exactly-zero attention rows after
     softmax, so dS (and thus dbias) is exactly zero there — no gradient
@@ -548,7 +552,7 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
     per step (_win_bwd_tiles). All token-wise dots (LN, qkv, do, dwp, dqkv,
     LN-bwd) run block-wide as single big MXU dots; only the quadratic
     per-128-token-segment attention math loops. dwp accumulates ONE
-    block-wide dot from the o scratch instead of one small RMW dot per
+    block-wide dot from the o residual instead of one small RMW dot per
     segment."""
     from mp_hsir_tpu.ops.pallas_attention import _window_expand_mat
 
@@ -600,11 +604,11 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
         for p in range(n_seg):
             qkv = qkv_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
             do_seg = do_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, c)
+            o_seg = o_ref[j, pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, c)
             if has_mask:
                 lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
                 lab_r = lab.reshape(t, 1)
                 off = lab_r != lab_r.reshape(1, t)
-            o_heads = []
             dq_heads, dk_heads, dv_heads = [], [], []
             for h in range(num_heads):
                 q = qkv[:, h * dh : (h + 1) * dh]
@@ -623,30 +627,32 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
                 # measured a 28% training regression — backward is MXU-bound)
                 attn = jax.nn.softmax(jnp.clip(attn, -80.0, 80.0), axis=-1)
                 attn_dt = attn.astype(dt)
-                o_heads.append(
-                    jnp.dot(attn_dt, v, preferred_element_type=jnp.float32).astype(dt))
                 do_h = do_seg[:, h * dh : (h + 1) * dh]
                 dv_heads.append(jax.lax.dot_general(
                     attn_dt, do_h, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
                 dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                             preferred_element_type=jnp.float32)
-                ds = attn * (dattn - jnp.sum(dattn * attn, axis=1, keepdims=True))
+                # flash-style delta: rowsum(dA ⊙ A) == rowsum(do ⊙ o) because
+                # o = A v — a (t, dh) mul+reduce instead of the (t, t) one
+                delta = jnp.sum(
+                    do_h.astype(jnp.float32)
+                    * o_seg[:, h * dh : (h + 1) * dh].astype(jnp.float32),
+                    axis=1, keepdims=True)
+                ds = attn * (dattn - delta)
                 dbias_ref[h * t : (h + 1) * t, :] += ds
                 ds_dt = ds.astype(dt)
                 dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
                 dk_heads.append(jax.lax.dot_general(
                     ds_dt, q, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
-            o_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :] = (
-                jnp.concatenate(o_heads, axis=1).reshape(8, seg_w, c))
             dqkv_seg = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=1)
             dqkv_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :] = (
                 dqkv_seg.astype(dt).reshape(8, seg_w, 3 * c))
 
-    # --- dwp: ONE block-wide dot (o^T dy) instead of n_seg RMW dots
+    # --- dwp: ONE block-wide dot (o^T dy) from the forward's o residual
     dwp_ref[:] += jax.lax.dot_general(
-        o_ref[:].reshape(tokens, c), dy2, (((0,), (0,)), ((), ())),
+        o_ref[:].reshape(tokens, c).astype(dt), dy2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # --- qkv-projection + LN backward (block-wide)
@@ -662,11 +668,12 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw_ref, lnb_ref, wqkv_ref,
     dx_ref[:] = dx.reshape(nb, ws8, w, c).astype(dx_ref.dtype)
 
 
-def _win_bwd_kernel_masked(x_ref, dy_ref, dpool_ref, lnw, lnb, wqkv, bqkv,
-                           bias, lab, wp, bp, *rest, num_heads, eps, seg_w):
-    _win_bwd_kernel(x_ref, dy_ref, dpool_ref, lnw, lnb, wqkv, bqkv, bias, wp,
-                    bp, *rest, num_heads=num_heads, eps=eps, seg_w=seg_w,
-                    has_mask=True, lab_ref=lab)
+def _win_bwd_kernel_masked(x_ref, dy_ref, dpool_ref, o_ref, lnw, lnb, wqkv,
+                           bqkv, bias, lab, wp, bp, *rest, num_heads, eps,
+                           seg_w):
+    _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw, lnb, wqkv, bqkv,
+                    bias, wp, bp, *rest, num_heads=num_heads, eps=eps,
+                    seg_w=seg_w, has_mask=True, lab_ref=lab)
 
 
 def _win_bwd_kernel_unmasked(*refs, num_heads, eps, seg_w):
@@ -690,8 +697,8 @@ def _win_bwd_tiles(b: int, h: int, w: int) -> tuple[int, int]:
     return nb, rows
 
 
-def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
-                  *, num_heads, eps, seg_w, interpret):
+def _win_bwd_call(x, dy, dpool, o, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                  lab4d, *, num_heads, eps, seg_w, interpret):
     b, h, w, c = x.shape
     dt = x.dtype
     t = 8 * seg_w
@@ -712,10 +719,10 @@ def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
 
     wacc = [acc((c, 3 * c)), acc((1, 3 * c)), acc((num_heads * t, t)),
             acc((c, c)), acc((1, c)), acc((1, c)), acc((1, c))]
-    args = [x, dy, dpool, ln_w.astype(jnp.float32), ln_b.astype(jnp.float32),
-            wqkv.astype(dt), bqkv.astype(jnp.float32),
-            bias2d.astype(jnp.float32)]
-    in_specs = [blk, blk, poolspec, full, full, full, full, full]
+    args = [x, dy, dpool, o.astype(dt), ln_w.astype(jnp.float32),
+            ln_b.astype(jnp.float32), wqkv.astype(dt),
+            bqkv.astype(jnp.float32), bias2d.astype(jnp.float32)]
+    in_specs = [blk, blk, poolspec, blk, full, full, full, full, full]
     if lab4d is not None:
         kern = functools.partial(_win_bwd_kernel_masked, num_heads=num_heads,
                                  eps=eps, seg_w=seg_w)
@@ -738,7 +745,6 @@ def _win_bwd_call(x, dy, dpool, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
             pltpu.VMEM((nb * ws8, w, 3 * c), dt),  # dqkv
             pltpu.VMEM((nb * ws8, w, c), dt),      # do (pre-projection grad)
             pltpu.VMEM((nb * ws8, w, c), jnp.float32),  # dy_tot (f32)
-            pltpu.VMEM((nb * ws8, w, c), dt),      # recomputed attention out
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -756,19 +762,23 @@ def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
     back onto the (nH, 64, 64) rel-pos table). Returns (map, pooled)."""
     from mp_hsir_tpu.ops.pallas_attention import _win_raw_call
 
-    def run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
+    def run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d, save_o):
         # `rows` only re-grids the forward; values are identical and the
-        # backward kernel re-derives everything from the raw inputs
+        # backward kernel re-derives everything it needs from the raw inputs
+        # plus the saved pre-projection attention output o (save_o=True on
+        # the differentiated path only — the primal-only path skips the
+        # extra HBM write)
         return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
                              num_heads=num_heads, eps=eps, seg_w=seg_w,
-                             shift_in=False, rows=rows, interpret=interpret)
+                             shift_in=False, rows=rows, interpret=interpret,
+                             save_o=save_o)
 
     def run_bwd(res, cot):
         dmap, dpool = cot
-        x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d = res
+        x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d, o = res
         dx, dwqkv, dbqkv, dbias, dwp, dbp, dlnw, dlnb = _win_bwd_call(
-            x, dmap.astype(x.dtype), dpool.astype(x.dtype), ln_w, ln_b, wqkv,
-            bqkv, bias2d, wp, bp, lab4d, num_heads=num_heads, eps=eps,
+            x, dmap.astype(x.dtype), dpool.astype(x.dtype), o, ln_w, ln_b,
+            wqkv, bqkv, bias2d, wp, bp, lab4d, num_heads=num_heads, eps=eps,
             seg_w=seg_w, interpret=interpret)
         return (dx, dlnw.astype(ln_w.dtype), dlnb.astype(ln_b.dtype),
                 dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
@@ -778,24 +788,30 @@ def _win_core(num_heads: int, eps: float, seg_w: int, has_mask: bool,
     if has_mask:
         @jax.custom_vjp
         def core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
-            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d,
+                           False)
 
         def fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d):
-            y = core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
-            return y, (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, lab4d)
+            out, pooled, o = run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp,
+                                     bp, lab4d, True)
+            return [out, pooled], (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                                   lab4d, o)
 
         def bwd(res, cot):
             grads = run_bwd(res, cot)
-            lab4d = res[-1]
+            lab4d = res[-2]
             return grads + (np.zeros(lab4d.shape, jax.dtypes.float0),)
     else:
         @jax.custom_vjp
         def core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp):
-            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, None)
+            return run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, None,
+                           False)
 
         def fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp):
-            y = core(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
-            return y, (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, None)
+            out, pooled, o = run_fwd(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp,
+                                     bp, None, True)
+            return [out, pooled], (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
+                                   None, o)
 
         def bwd(res, cot):
             return run_bwd(res, cot)
