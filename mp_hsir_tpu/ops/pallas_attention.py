@@ -400,24 +400,29 @@ def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
 
 
 def _nhwc_kernel_masked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp,
-                              out_ref, pooled_ref, o_out, qkv_scr, *,
+                              out_ref, pooled_ref, o_out, qkv_scr, o_scr, *,
                               num_heads, eps, seg_w):
-    # save_o: the pre-projection attention output is an OUTPUT block (the
-    # training forward saves it as a residual so the backward kernel skips
-    # the attn@v recompute dot and uses the flash-style delta identity —
-    # see pallas_vjp._win_bwd_kernel). o_out doubles as the kernel's o
-    # buffer (Pallas output blocks are read-write within a grid step).
+    # save_o: the pre-projection attention output is ALSO an output block —
+    # the training forward saves it as a residual so the backward kernel
+    # skips the attn@v recompute dot and uses the flash-style delta
+    # identity (see pallas_vjp._win_bwd_kernel). The kernel keeps writing
+    # per-segment slices into the o scratch (a direct .at[0] ref-view store
+    # hit a Mosaic lane-alignment rejection: the per-head 64-lane concat
+    # pieces get store-forwarded into the block memref); one whole-block
+    # VMEM copy at the end feeds the output DMA.
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
-                 qkv_scr, o_out.at[0], num_heads=num_heads, eps=eps,
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps,
                  seg_w=seg_w, has_mask=True, lab_ref=lab)
+    o_out[0] = o_scr[:]
 
 
 def _nhwc_kernel_unmasked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp,
-                                out_ref, pooled_ref, o_out, qkv_scr, *,
+                                out_ref, pooled_ref, o_out, qkv_scr, o_scr, *,
                                 num_heads, eps, seg_w):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
-                 qkv_scr, o_out.at[0], num_heads=num_heads, eps=eps,
+                 qkv_scr, o_scr, num_heads=num_heads, eps=eps,
                  seg_w=seg_w, has_mask=False)
+    o_out[0] = o_scr[:]
 
 
 def _nhwc_kernel_masked_shift(x_ref, x_nxt, lnw, lnb, wqkv, bqkv, bias, lab, wp,
@@ -472,12 +477,22 @@ def fused_ln_window_attention_nhwc(
     seg_w = int(os.environ.get("PALLAS_WIN_SEG", "16"))
     if seg_w % 8 != 0 or w % seg_w != 0:
         seg_w = 16  # segments must hold whole 8-wide windows
-    # window-rows per slab (PALLAS_WIN_ROWS): MEASURED NEGATIVE — batching
-    # 2-4 window-rows per grid step at 256^2/128^2 ran 8-14% SLOWER than
-    # 8-row slabs (0.825->0.890 ms at 256^2 d128, 0.496->0.566 at 128^2
-    # d256): fewer, larger grid steps lose DMA/compute overlap. Kept as an
-    # experiment knob only; the default stays 1.
-    rows = int(os.environ.get("PALLAS_WIN_ROWS", "1"))
+    # window-rows per slab: batching 2-4 window-rows per grid step at EVAL
+    # sizes (256^2/128^2) MEASURED NEGATIVE — 8-14% SLOWER than 8-row slabs
+    # (0.825->0.890 ms at 256^2 d128, 0.496->0.566 at 128^2 d256): fewer,
+    # larger grid steps lose DMA/compute overlap. At the TRAIN regime
+    # (64^2 maps) a slab is only 512 tokens and per-step grid latency
+    # dominates (same finding as the backward's _win_bwd_tiles), so small
+    # maps (w <= 64) auto-tile to ~PALLAS_WIN_FWD_TOKENS (default 2048).
+    # PALLAS_WIN_ROWS, when set, overrides both.
+    rows_env = int(os.environ.get("PALLAS_WIN_ROWS", "0") or 0)
+    if rows_env > 0:
+        rows = rows_env
+    elif w <= 64:
+        target = int(os.environ.get("PALLAS_WIN_FWD_TOKENS", "2048"))
+        rows = max(1, target // (8 * w))
+    else:
+        rows = 1
     rows = max(1, min(rows, h // 8))
     while (h // 8) % rows != 0:
         rows -= 1
@@ -578,14 +593,15 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
     ]
-    scratch = [pltpu.VMEM((ws8, w, 3 * c), x.dtype)]  # slab qkv
+    scratch = [
+        pltpu.VMEM((ws8, w, 3 * c), x.dtype),  # slab qkv
+        pltpu.VMEM((ws8, w, c), x.dtype),      # pre-projection attention out
+    ]
     if save_o:
         # pre-projection attention out saved as a residual for the backward
         out_specs.append(pl.BlockSpec((1, ws8, w, c), lambda bi, i: (bi, i, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, h, w, c), x.dtype))
-    else:
-        scratch.append(pltpu.VMEM((ws8, w, c), x.dtype))
     return pl.pallas_call(
         kern,
         grid=grid,
