@@ -214,8 +214,13 @@ def _mlp_bwd_call(x, dy, ln_w, ln_b, w1, b1, w2, b2=None, dp_scale=None, *,
     bw = w if w <= cap else _pick_chunk(w, cap)
     # batch-tile: nb samples per grid step until ~PALLAS_MLP_BWD_TOKENS
     # tokens (train-regime slabs are tiny and grid-step-latency-bound; see
-    # _win_bwd_tiles). Reduces to nb=1 at eval sizes.
+    # _win_bwd_tiles). Reduces to nb=1 at eval sizes. The step's VMEM
+    # working set scales with tokens * 2*hidden f32, so the token budget
+    # shrinks proportionally past the flagship latent's 1536 lanes (the RS
+    # preset's d384 latent, 2h = 2048, OOM'd the 64M scoped limit at 2048
+    # tokens: 70.5M).
     target = int(os.environ.get("PALLAS_MLP_BWD_TOKENS", "2048"))
+    target = target * 1536 // max(2 * hidden, 1536)
     nb = max(1, min(b, target // (8 * bw)))
     while b % nb:
         nb -= 1
