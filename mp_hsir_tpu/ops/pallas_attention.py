@@ -26,6 +26,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
+# exp(x) costs the VPU an extra multiply over the native 2^x unit:
+# exp(x) = exp2(x * log2(e)). The window kernels fold LOG2E into the
+# q-scale/bias prep (fused_ln_window_attention_nhwc) so score tiles hit
+# exp2 directly; softmax is invariant to the base change (the constants
+# cancel in the normalization), so values are bit-comparable to the exp
+# form. CLIP2 is the old +-80 logit clip in base-2 units.
+LOG2E = 1.4426950408889634
+CLIP2 = 80.0 * LOG2E
+LN2 = 0.6931471805599453
+
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, bias_ref, wp_ref, bp_ref, out_ref, *, num_heads, n_tok, has_mask, mask_ref=None):
     """Block-diagonal formulation, Mosaic-safe:
@@ -230,12 +240,15 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             if has_mask:
                 attn = jnp.where(off, -1e9, attn)
             # softmax without cross-lane VPU reductions: no max-subtract
-            # (scores clipped to +-80 so exp stays in f32/bf16 range; masked
-            # entries land at exp(-80)=1.8e-35, negligible vs any live
-            # score) and the row denominator rides the value dot as an
-            # appended ones column (the MXU computes it alongside p @ v) —
-            # the 7-pass lane max and sum reductions both vanish
-            p_exp = jnp.exp(jnp.clip(attn, -80.0, 80.0)).astype(dt)
+            # (scores clipped to +-80 in base-2 units so exp2 stays in
+            # f32/bf16 range; masked entries land at exp(-80)=1.8e-35,
+            # negligible vs any live score) and the row denominator rides
+            # the value dot as an appended ones column (the MXU computes it
+            # alongside p @ v) — the 7-pass lane max and sum reductions
+            # both vanish. Scores arrive pre-scaled by LOG2E (folded into
+            # the q weights/bias with the dh**-0.5), so the exp->exp2
+            # conversion multiply vanishes too; softmax is base-invariant.
+            p_exp = jnp.exp2(jnp.clip(attn, -CLIP2, CLIP2)).astype(dt)
             pv = jnp.dot(p_exp, jnp.concatenate([v, ones_col], axis=1),
                          preferred_element_type=jnp.float32)
             outs.append((pv[:, :dh] / pv[:, dh : dh + 1]).astype(dt))
@@ -496,10 +509,13 @@ def fused_ln_window_attention_nhwc(
     rows = max(1, min(rows, h // 8))
     while (h // 8) % rows != 0:
         rows -= 1
-    bias2d = segment_bias(rel_bias, seg_w)
-    # fold the dh**-0.5 score scale into the q columns (and q bias) so the
-    # kernel never multiplies the (T, T) score tiles
-    scale = (c // num_heads) ** -0.5
+    # fold the dh**-0.5 score scale AND the exp->exp2 base change (LOG2E)
+    # into the q columns (and q bias) + rel-pos bias, so the kernel never
+    # multiplies the (T, T) score tiles — not for the scale, and not for
+    # the exp2 conversion: score tiles go straight from the MXU dot to the
+    # native 2^x unit (see _nhwc_kernel)
+    bias2d = segment_bias(rel_bias, seg_w) * LOG2E
+    scale = (c // num_heads) ** -0.5 * LOG2E
     wqkv = jnp.concatenate(
         [(wqkv[:, :c].astype(jnp.float32) * scale).astype(wqkv.dtype), wqkv[:, c:]], axis=1)
     bqkv = jnp.concatenate([bqkv[:c] * scale, bqkv[c:]])

@@ -34,7 +34,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mp_hsir_tpu.ops.pallas_attention import _erf, _ln_rows, _pick_chunk
+from mp_hsir_tpu.ops.pallas_attention import (CLIP2, LN2, _erf, _ln_rows,
+                                              _pick_chunk)
 
 Array = jax.Array
 
@@ -624,27 +625,38 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw_ref, lnb_ref,
                 ) + bias_ref[h * t : (h + 1) * t, :]
                 if has_mask:
                     attn = jnp.where(off, -1e9, attn)
-                # mirror the forward primal's clipped softmax (the fwd kernel
-                # skips max-subtract via a +-80 clip): recomputing the EXACT
-                # softmax here would silently pair the clipped forward value
-                # with gradients of a different function if any score drifted
-                # past 80; the VPU softmax stays (the MXU ones-dot variant
-                # measured a 28% training regression — backward is MXU-bound)
-                attn = jax.nn.softmax(jnp.clip(attn, -80.0, 80.0), axis=-1)
-                attn_dt = attn.astype(dt)
+                # mirror the forward primal's clipped base-2 softmax (the
+                # fwd kernel skips max-subtract via the clip and has LOG2E
+                # folded into q/bias): recompute the UNNORMALIZED p = 2^s
+                # exactly as the forward does and factor the row
+                # normalization out of the (t, t) tiles — diag(1/r) commutes
+                # through every downstream use, landing on (t, dh)/(t, 1)
+                # operands instead: dv = p^T (do/r), ds = p ⊙ ((dA-δ)·ln2/r)
+                # (the ln2 is d exp2/dx). Replaces the old softmax
+                # recompute's row-max reduce + subtract + divide (three
+                # (t, t) VPU passes) with two (t, 1) row scales. The row
+                # SUM reduce stays on the VPU: the MXU ones-dot variant
+                # measured a 28% training regression — backward is MXU-bound.
+                pexp = jnp.exp2(jnp.clip(attn, -CLIP2, CLIP2))
+                rinv = 1.0 / jnp.sum(pexp, axis=-1, keepdims=True)
+                p_dt = pexp.astype(dt)
                 do_h = do_seg[:, h * dh : (h + 1) * dh]
+                do_f32 = do_h.astype(jnp.float32)
                 dv_heads.append(jax.lax.dot_general(
-                    attn_dt, do_h, (((0,), (0,)), ((), ())),
+                    p_dt, (do_f32 * rinv).astype(dt), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
                 dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                             preferred_element_type=jnp.float32)
                 # flash-style delta: rowsum(dA ⊙ A) == rowsum(do ⊙ o) because
                 # o = A v — a (t, dh) mul+reduce instead of the (t, t) one
                 delta = jnp.sum(
-                    do_h.astype(jnp.float32)
+                    do_f32
                     * o_seg[:, h * dh : (h + 1) * dh].astype(jnp.float32),
                     axis=1, keepdims=True)
-                ds = attn * (dattn - delta)
+                # scale p by the row factor FIRST (p·ln2/r = ln2·A stays
+                # O(1); scaling (dattn-delta) by 1/r instead can underflow
+                # f32 when a row's denominator runs hot near the clip)
+                ds = (pexp * (LN2 * rinv)) * (dattn - delta)
                 dbias_ref[h * t : (h + 1) * t, :] += ds
                 ds_dt = ds.astype(dt)
                 dq_heads.append(jnp.dot(ds_dt, k, preferred_element_type=jnp.float32))
