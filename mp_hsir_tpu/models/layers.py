@@ -434,8 +434,7 @@ class SpectralAttention(nn.Module):
                 gate_map=gate_map, shortcut=shortcut, dp_scale=dp_scale,
             )
         if (self.use_pallas and self.allow_sharded_kernel and not self.use_bias
-                and use_tp and h % 8 == 0 and ln_w is None and gate is None
-                and gate_map is None and shortcut is None and dp_scale is None
+                and use_tp and h % 8 == 0 and ln_w is None
                 and not residual and not shifted and mlp_params is None
                 and x2 is None):
             # spectral TP on the fused sp0/sp1 kernels (round-3 VERDICT #5):
@@ -443,6 +442,9 @@ class SpectralAttention(nn.Module):
             # VJP as the jnp path (weight cotangents psum over the axis),
             # run the custom-vjp cores on the local slices, psum the partial
             # projections over `spectral`. Composes with spatial sharding.
+            # Since round 5 the PGSSTB epilogue (gate / gate_map / shortcut /
+            # drop-path) is fused here too — gate terms scaled 1/n_sp per
+            # member, shortcut added once post-psum (round-4 VERDICT #4).
             from mp_hsir_tpu.ops.pallas_attention import fused_spectral_attention_tp
 
             heads_l = self.num_heads // n_sp
@@ -460,6 +462,8 @@ class SpectralAttention(nn.Module):
                 tp_slice(temp, idx * heads_l, heads_l, 0, sp),
                 tp_slice(wout.reshape(c, c), idx * cl, cl, 0, sp),
                 heads_l, sp, spatial_axis=self.axis_name,
+                gate=gate, gate_map=gate_map, shortcut=shortcut,
+                dp_scale=dp_scale,
             )
         assert (ln_w is None and gate is None and gate_map is None
                 and shortcut is None and dp_scale is None
@@ -1115,9 +1119,17 @@ class PGSSTB(nn.Module):
             train_epilogue = (not deterministic and self.axis_name is None
                               and not self.use_bias
                               and self.spectral_axis is None)
+            # spectral-TP epilogue (round-4 VERDICT #4): the TP kernel route
+            # now consumes gate / gate_map / shortcut / drop-path (gate terms
+            # 1/n_sp-scaled per member, shortcut post-psum) — PGSSTB under
+            # band sharding no longer decomposes into explicit composition
+            n_spect = (jax.lax.axis_size(self.spectral_axis)
+                       if self.spectral_axis is not None else 1)
+            tp_epilogue = (n_spect > 1 and not self.use_bias
+                           and self.num_heads % n_spect == 0)
             epilogue_ok = (deterministic and _pallas_spectral_epilogue_ok(
                 self.use_bias, self.axis_name, self.spectral_axis)
-            ) or sharded_epilogue or train_epilogue
+            ) or sharded_epilogue or train_epilogue or tp_epilogue
             # the window kernel's in-kernel roll wraps within the LOCAL map
             # and has no VJP — single-device eval only; sharded/train shifted
             # blocks keep the explicit roll-in
@@ -1131,7 +1143,7 @@ class PGSSTB(nn.Module):
             # _nhwc_sp0_kernel), so the spectral kernel's separate phase-0
             # read of sa_map never happens
             merged = (epilogue_ok and deterministic and not sharded_epilogue
-                      and h // 8 >= 2)
+                      and not tp_epilogue and h // 8 >= 2)
             sp_w = None
             if merged:
                 sp_wqkv, sp_wdw, sp_temp, sp_wout = SpectralAttentionParams(
@@ -1183,7 +1195,7 @@ class PGSSTB(nn.Module):
                         shifted=shift > 0,
                         mlp=(lnw2, lnb2, w1, b1, w2, b2),
                         precomputed=(sp_gram, sp_nq, sp_nk))
-                if deterministic and not sharded_epilogue:
+                if deterministic and not sharded_epilogue and not tp_epilogue:
                     _count_path("pgsstb_fused_epilogue")
                     w1, b1, w2, b2 = GatedMlpParams(self.dim, hidden, name="mlp")()
                     return spectral(sa_map, gate=gate, shortcut=shortcut,
@@ -1194,7 +1206,8 @@ class PGSSTB(nn.Module):
                 # the per-sample drop-path scales IN-KERNEL (differentiable
                 # custom_vjp cores), and the tail MLP's residual + drop-path
                 # ride its own kernel writeback.
-                _count_path("pgsstb_fused_sharded_epilogue"
+                _count_path("pgsstb_fused_tp_epilogue" if tp_epilogue else
+                            "pgsstb_fused_sharded_epilogue"
                             if sharded_epilogue else
                             "pgsstb_fused_train_epilogue")
                 dp1 = dp2 = None

@@ -155,6 +155,23 @@ def _window_expand_mat(w: int, shift: int = 0):
     return ((er // 8) == ec).astype(jnp.float32)
 
 
+def segment_bias_packed(rel_bias: Array) -> Array:
+    """(nH, 64, 64) window rel-pos bias -> (nH/2 * 64, 128) head-PAIR-packed
+    single-window bias for the seg_w=8 packed kernel path: row block j holds
+    [bias_head(2j) | bias_head(2j+1)] side by side on the lane axis. With
+    one 8x8 window per segment there are NO cross-window entries, so no
+    -1e9 baking is needed (the round-4 derivation showed ~half the T=128
+    score-tile area was masked waste). Plain-jnp and differentiable — the
+    custom-VJP dbias flows back through this reshape onto the rel-pos
+    table."""
+    nh, n, _ = rel_bias.shape
+    assert nh % 2 == 0, nh
+    return (rel_bias.astype(jnp.float32)
+            .reshape(nh // 2, 2, n, n)
+            .transpose(0, 2, 1, 3)
+            .reshape(nh // 2 * n, 2 * n))
+
+
 def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
     """(nH, 64, 64) window rel-pos bias -> (nH*T, T) bias over a T-token
     SEGMENT (8 rows x seg_w cols = seg_w/8 side-by-side 8x8 windows in slab
@@ -220,6 +237,61 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
                   + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
 
+    # --- head-pair-packed single-window segments (seg_w == 8) -------------
+    # One segment = ONE 8x8 window (t = 64 tokens); two heads' (64, 64)
+    # score tiles are packed side by side on the 128-lane axis. Versus the
+    # T=128 two-window segments this (a) halves the per-head score-tile
+    # area — at T=128 all cross-window entries were -1e9 masked waste —
+    # while keeping VPU lanes full, and (b) halves the K=T MXU stream of
+    # the p @ [v|1] value dot (K=64 block-diag over two heads instead of
+    # K=128 per head). Requires even num_heads and 2*dh <= 128 (both
+    # presets: dh = 32 / 48 at every level). Block-diagonal k / v operands
+    # are built by two masked copies (lane-block 0/1 selectors) — two
+    # (t, 2dh) multiplies, far cheaper than the (t, t) f32 work they
+    # eliminate.
+    d2 = 2 * dh
+    if seg_w == 8:
+        sel0 = (jax.lax.broadcasted_iota(jnp.int32, (t, d2), 1) < dh).astype(dt)
+        sel1 = (jax.lax.broadcasted_iota(jnp.int32, (t, d2), 1) >= dh).astype(dt)
+        sv = jax.lax.broadcasted_iota(jnp.int32, (t, d2 + 2), 1)
+        selv0 = jnp.logical_or(sv < dh, sv == d2).astype(dt)
+        selv1 = jnp.logical_and(sv >= dh, sv != d2).astype(dt)
+        ones2 = jnp.ones((t, 2), dt)
+
+    def seg_packed(r, p):
+        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * 8, 8), :].reshape(t, 3 * c)
+        if has_mask:
+            lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * 8, 8), 0]  # (8, 8)
+            lab_r = lab.reshape(t, 1)
+            # duplicate the int32 key-label row across both lane halves and
+            # broadcast-compare (Mosaic rejects concatenating i1 vectors)
+            lab_row = lab.reshape(1, t)
+            off2 = lab_r != jnp.concatenate([lab_row, lab_row], axis=1)
+        outs = []
+        for j in range(num_heads // 2):
+            q2 = qkv[:, j * d2 : (j + 1) * d2]
+            k2 = qkv[:, c + j * d2 : c + (j + 1) * d2]
+            v2 = qkv[:, 2 * c + j * d2 : 2 * c + (j + 1) * d2]
+            # block-diag key rows: [k0|0] over tokens, then [0|k1]
+            kbd = jnp.concatenate([k2 * sel0, k2 * sel1], axis=0)  # (2t, d2)
+            attn = jax.lax.dot_general(
+                q2, kbd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (t, 2t)
+            attn = attn + bias_ref[j * t : (j + 1) * t, :]
+            if has_mask:
+                attn = jnp.where(off2, -1e9, attn)
+            p_exp = jnp.exp2(jnp.clip(attn, -CLIP2, CLIP2)).astype(dt)
+            # block-diag [v|1] rows: [v0|0|1|0] then [0|v1|0|1] — the two
+            # heads' value dots and softmax denominators ride ONE MXU pass
+            vv = jnp.concatenate([v2, ones2], axis=1)  # (t, d2+2)
+            vbd = jnp.concatenate([vv * selv0, vv * selv1], axis=0)
+            pv = jnp.dot(p_exp, vbd, preferred_element_type=jnp.float32)
+            o0 = pv[:, :dh] / pv[:, d2 : d2 + 1]
+            o1 = pv[:, dh:d2] / pv[:, d2 + 1 : d2 + 2]
+            outs.append(jnp.concatenate([o0, o1], axis=1).astype(dt))
+        o_ref[pl.ds(r * 8, 8), pl.ds(p * 8, 8), :] = (
+            jnp.concatenate(outs, axis=1).reshape(8, 8, c))
+
     def seg(r, p):
         qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
         if has_mask:
@@ -257,9 +329,10 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
 
     # unrolled: Mosaic schedules/pipelines the small attention dots better
     # than a fori_loop here (measured)
+    seg_fn = seg_packed if seg_w == 8 else seg
     for _r in range(n_rows):
         for _p in range(n_seg):
-            seg(_r, _p)
+            seg_fn(_r, _p)
     # slab-wide output projection
     y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
@@ -484,12 +557,26 @@ def fused_ln_window_attention_nhwc(
     b, h, w, c = x.shape
     assert h % 8 == 0 and w % 16 == 0, (h, w)
     # segment width (columns): seg_w/8 whole windows attend inside one
-    # (8*seg_w)^2 score tile; wider segments mean fewer, bigger MXU dots at
-    # more cross-window waste. 16 (128-token tiles) measured best on v5e;
-    # PALLAS_WIN_SEG overrides for experiments.
-    seg_w = int(os.environ.get("PALLAS_WIN_SEG", "16"))
+    # (8*seg_w)^2 score tile. seg_w=8 selects the head-PAIR-PACKED path
+    # (one window per segment, two heads' 64x64 score tiles packed on the
+    # 128-lane axis — see seg_packed in _nhwc_kernel): it halves the
+    # per-head score-tile area vs the old seg_w=16 default (whose
+    # cross-window half was pre-masked waste) at full lane utilization.
+    # Requires even num_heads and dh == 32 (every flagship level: 64/2,
+    # 128/4, 256/8). dh = 48 (the d96 RS preset) is arithmetically eligible
+    # (2*dh = 96 <= 128) but its packed kernel hit a PATHOLOGICAL Mosaic
+    # compile (>20 min remote AOT, vs ~2 min for the whole flagship model —
+    # the 48-lane-misaligned block-diag masks/slices blow up vector
+    # lowering), so it keeps the measured seg_w=16 path. PALLAS_WIN_SEG
+    # overrides for experiments (16 = the old two-window unpacked tiles).
+    dh = c // num_heads
+    env_seg = os.environ.get("PALLAS_WIN_SEG", "")
+    pack_ok = num_heads % 2 == 0 and dh == 32
+    seg_w = int(env_seg) if env_seg else (8 if pack_ok else 16)
     if seg_w % 8 != 0 or w % seg_w != 0:
         seg_w = 16  # segments must hold whole 8-wide windows
+    if seg_w == 8 and not pack_ok:
+        seg_w = 16  # packed path needs head pairs
     # window-rows per slab: batching 2-4 window-rows per grid step at EVAL
     # sizes (256^2/128^2) MEASURED NEGATIVE — 8-14% SLOWER than 8-row slabs
     # (0.825->0.890 ms at 256^2 d128, 0.496->0.566 at 128^2 d256): fewer,
@@ -514,7 +601,8 @@ def fused_ln_window_attention_nhwc(
     # multiplies the (T, T) score tiles — not for the scale, and not for
     # the exp2 conversion: score tiles go straight from the MXU dot to the
     # native 2^x unit (see _nhwc_kernel)
-    bias2d = segment_bias(rel_bias, seg_w) * LOG2E
+    bias2d = (segment_bias_packed(rel_bias) if seg_w == 8
+              else segment_bias(rel_bias, seg_w)) * LOG2E
     scale = (c // num_heads) ** -0.5 * LOG2E
     wqkv = jnp.concatenate(
         [(wqkv[:, :c].astype(jnp.float32) * scale).astype(wqkv.dtype), wqkv[:, c:]], axis=1)
@@ -2051,6 +2139,10 @@ def fused_spectral_attention_tp(
     local_heads: int,
     spectral_axis: str,
     spatial_axis: Optional[str] = None,
+    gate: Optional[Array] = None,      # (B, H/8, W/8, C) per-window gates
+    gate_map: Optional[Array] = None,  # (B, H, W, C) per-pixel gates
+    shortcut: Optional[Array] = None,
+    dp_scale: Optional[Array] = None,  # (B,) per-sample drop-path scale
     eps: float = 1e-5,
     interpret: bool = False,
 ) -> Array:
@@ -2061,8 +2153,16 @@ def fused_spectral_attention_tp(
     the jnp TP formulation in models/layers.SpectralAttention (round-3
     VERDICT #5). Composes with spatial row sharding: halo ppermute + Gram
     psum over `spatial_axis`, exactly like fused_spectral_attention_sharded.
-    Plain attention only — under spectral TP the PGSSTB epilogues stay in
-    the caller's explicit composition (they must apply once, post-psum).
+
+    PGSSTB epilogue under TP (round-4 VERDICT #4): the multiplicative-gate
+    term x·gate is member-independent, so each member adds x·(gate/n_sp)
+    in-kernel and the psum reconstitutes the full term exactly (mesh sizes
+    are powers of two, so the 1/n scale and the n-way sum of identical
+    addends are both exact in binary fp); the per-sample drop-path scale is
+    multiplicative on the branch and rides unchanged; the shortcut is added
+    ONCE post-psum (scaling it per member would cost the same full-map pass
+    it saves). Net: zero extra full-map HBM passes vs the non-TP epilogue
+    beyond the unavoidable psum.
     SURVEY §2.6 band-sharding; the reference has no analogue (single GPU,
     net/MP_HSIR.py:85-114). Differentiable: the psums/ppermutes transpose
     natively in the traced glue around the custom-VJP cores."""
@@ -2094,11 +2194,17 @@ def fused_spectral_attention_tp(
         nq2 = jax.lax.psum(nq2, spatial_axis)
         nk2 = jax.lax.psum(nk2, spatial_axis)
     comb = spectral_sharded_fold(gram, nq2, nk2, temp_l, wout_l, local_heads)
+    inv = 1.0 / jax.lax.axis_size(spectral_axis)
     y = sp1_sharded(
         x, halo_top, halo_bot, edge, wqkv2d, wdw2d, comb, None, None,
-        None, None, None, None, num_heads=local_heads, eps=eps,
+        None if gate is None else gate * inv,
+        None if gate_map is None else gate_map * inv,
+        None, dp_scale, num_heads=local_heads, eps=eps,
         residual=False, interpret=interpret)
-    return jax.lax.psum(y, spectral_axis)
+    y = jax.lax.psum(y, spectral_axis)
+    if shortcut is not None:
+        y = shortcut + y
+    return y
 
 
 def fused_window_attention(

@@ -540,12 +540,21 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw_ref, lnb_ref,
                     dlnw_ref, dlnb_ref, qkv_ref, dqkv_ref, do_ref, dyt_ref,
                     *, num_heads, eps, seg_w, has_mask, lab_ref=None):
     """Exact VJP of _nhwc_kernel (shift_in=False): recompute LN/qkv/attention
-    per 128-token segment and run the standard attention backward
-    (dv = A^T do, dS = A ⊙ (dA − delta), dq = dS k, dk = dS^T q). The
-    pre-projection attention output o arrives as a RESIDUAL from the
-    forward (save_o output), which removes the attn@v recompute dot and —
-    via the flash-attention identity rowsum(dA ⊙ A) == rowsum(do ⊙ o) —
-    replaces the (T, T) elementwise+reduce with a (T, dh) one.
+    per segment and run the attention backward in the forward's clipped
+    base-2 factored form — with unnormalized p = 2^s and row denominator r:
+    dv = p^T (do·r⁻¹)  (equivalently A^T do), dS = (p·ln2·r⁻¹) ⊙ (dA − δ)
+    (the ln2 is d exp2/dx; the row normalization is factored out of the
+    (T, T) tiles onto (T, ·) operands — see the inline comments), dq = dS k,
+    dk = dS^T q. The pre-projection attention output o arrives as a
+    RESIDUAL from the forward (save_o output), which removes the attn@v
+    recompute dot and — via the flash-attention identity
+    rowsum(dA ⊙ A) == rowsum(do ⊙ o) — replaces the (T, T)
+    elementwise+reduce with a (T, dh) one.
+    seg_w == 8 selects the head-pair-packed segment form (one 8x8 window
+    per segment, two heads' score tiles side by side on the lane axis),
+    mirroring the forward's seg_packed — all (T, T) tiles halve in area
+    per head and the block-diag k/v operands serve double duty in the
+    dq/dattn dots.
     The pooled-mean second output backflows as dy += expand(dpool)/64. The
     -1e9 cross-window bias entries give exactly-zero attention rows after
     softmax, so dS (and thus dbias) is exactly zero there — no gradient
@@ -604,8 +613,90 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw_ref, lnb_ref,
                                  preferred_element_type=jnp.float32)
     do_ref[:] = do_all.astype(dt).reshape(nb * ws8, w, c)
 
-    for j in range(nb):
-      for r in range(rows):
+    d2 = 2 * dh
+    if seg_w == 8:
+        # lane-block selectors for the packed path (see forward seg_packed)
+        sel0 = (jax.lax.broadcasted_iota(jnp.int32, (t, d2), 1) < dh).astype(dt)
+        sel1 = (jax.lax.broadcasted_iota(jnp.int32, (t, d2), 1) >= dh).astype(dt)
+        # (2, 2t) 0/1 expansion: row h broadcasts a per-head (t, 1) column
+        # onto lane half h — one tiny K=2 MXU dot instead of two (t, t)
+        # broadcasts
+        exp2t = (jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 1) // t
+                 == jax.lax.broadcasted_iota(jnp.int32, (2, 2 * t), 0)
+                 ).astype(jnp.float32)
+
+    def seg_bwd_packed(jb, r, base, p):
+        qkv = qkv_ref[pl.ds(base, 8), pl.ds(p * 8, 8), :].reshape(t, 3 * c)
+        do_seg = do_ref[pl.ds(base, 8), pl.ds(p * 8, 8), :].reshape(t, c)
+        o_seg = o_ref[jb, pl.ds(r * 8, 8), pl.ds(p * 8, 8), :].reshape(t, c)
+        if has_mask:
+            lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * 8, 8), 0]
+            lab_r = lab.reshape(t, 1)
+            # duplicate the int32 key-label row across both lane halves and
+            # broadcast-compare (Mosaic rejects concatenating i1 vectors)
+            lab_row = lab.reshape(1, t)
+            off2 = lab_r != jnp.concatenate([lab_row, lab_row], axis=1)
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for hj in range(num_heads // 2):
+            q2 = qkv[:, hj * d2 : (hj + 1) * d2]
+            k2 = qkv[:, c + hj * d2 : c + (hj + 1) * d2]
+            v2 = qkv[:, 2 * c + hj * d2 : 2 * c + (hj + 1) * d2]
+            kbd = jnp.concatenate([k2 * sel0, k2 * sel1], axis=0)  # (2t, d2)
+            attn = jax.lax.dot_general(
+                q2, kbd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32
+            ) + bias_ref[hj * t : (hj + 1) * t, :]
+            if has_mask:
+                attn = jnp.where(off2, -1e9, attn)
+            pexp = jnp.exp2(jnp.clip(attn, -CLIP2, CLIP2))  # (t, 2t)
+            r0 = jnp.sum(pexp[:, :t], axis=-1, keepdims=True)
+            r1 = jnp.sum(pexp[:, t:], axis=-1, keepdims=True)
+            rinv2 = 1.0 / jnp.concatenate([r0, r1], axis=1)  # (t, 2)
+            rinv_p = jnp.dot(rinv2, exp2t, preferred_element_type=jnp.float32)
+            # a_p = p·r⁻¹ = A: O(1) rows, safe to cast to bf16 for the dv
+            # dot (raw do as the other operand — no bf16 do·r⁻¹ underflow
+            # for hot rows near the clip), and reused ×ln2 for ds
+            a_p = pexp * rinv_p  # (t, 2t) f32
+            do2 = do_seg[:, hj * d2 : (hj + 1) * d2]
+            dvres = jax.lax.dot_general(
+                a_p.astype(dt), do2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2t, d2)
+            dv_heads.append(jnp.concatenate(
+                [dvres[:t, :dh], dvres[t:, dh:]], axis=1))
+            vbd = jnp.concatenate([v2 * sel0, v2 * sel1], axis=0)  # (2t, d2)
+            dattn = jax.lax.dot_general(
+                do2, vbd, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (t, 2t)
+            do_f32 = do2.astype(jnp.float32)
+            prod = do_f32 * o_seg[:, hj * d2 : (hj + 1) * d2].astype(jnp.float32)
+            delta0 = jnp.sum(prod[:, :dh], axis=1, keepdims=True)
+            delta1 = jnp.sum(prod[:, dh:], axis=1, keepdims=True)
+            delta_p = jnp.dot(jnp.concatenate([delta0, delta1], axis=1),
+                              exp2t, preferred_element_type=jnp.float32)
+            ds = (LN2 * a_p) * (dattn - delta_p)
+            dbias_ref[hj * t : (hj + 1) * t, :] += ds
+            ds_dt = ds.astype(dt)
+            # kbd serves double duty: dq = dS·K_bd lands both heads' dq
+            # halves in one dot
+            dq_heads.append(jnp.dot(ds_dt, kbd,
+                                    preferred_element_type=jnp.float32))
+            dkres = jax.lax.dot_general(
+                ds_dt, q2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (2t, d2)
+            dk_heads.append(jnp.concatenate(
+                [dkres[:t, :dh], dkres[t:, dh:]], axis=1))
+        dqkv_seg = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=1)
+        dqkv_ref[pl.ds(base, 8), pl.ds(p * 8, 8), :] = (
+            dqkv_seg.astype(dt).reshape(8, 8, 3 * c))
+
+    if seg_w == 8:
+        for j in range(nb):
+            for r in range(rows):
+                for p in range(n_seg):
+                    seg_bwd_packed(j, r, j * ws8 + r * 8, p)
+    else:
+      for j in range(nb):
+       for r in range(rows):
         base = j * ws8 + r * 8
         for p in range(n_seg):
             qkv = qkv_ref[pl.ds(base, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
@@ -642,8 +733,14 @@ def _win_bwd_kernel(x_ref, dy_ref, dpool_ref, o_ref, lnw_ref, lnb_ref,
                 p_dt = pexp.astype(dt)
                 do_h = do_seg[:, h * dh : (h + 1) * dh]
                 do_f32 = do_h.astype(jnp.float32)
+                # accepted edge: (do·r⁻¹) in bf16 can flush to zero when a
+                # row's denominator runs hot near the clip (r⁻¹ ~ 2⁻¹¹⁵)
+                # AND do is tiny — scaling p instead would cost a (t, t)
+                # multiply on this legacy path; the packed default path
+                # (seg_bwd_packed) scales p, where the multiply is free
+                pv_scaled = (do_f32 * rinv).astype(dt)
                 dv_heads.append(jax.lax.dot_general(
-                    p_dt, (do_f32 * rinv).astype(dt), (((0,), (0,)), ((), ())),
+                    p_dt, pv_scaled, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
                 dattn = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
                                             preferred_element_type=jnp.float32)
@@ -734,7 +831,7 @@ def _win_bwd_call(x, dy, dpool, o, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
             jax.ShapeDtypeStruct(shape, jnp.float32),
         )
 
-    wacc = [acc((c, 3 * c)), acc((1, 3 * c)), acc((num_heads * t, t)),
+    wacc = [acc((c, 3 * c)), acc((1, 3 * c)), acc(tuple(bias2d.shape)),
             acc((c, c)), acc((1, c)), acc((1, c)), acc((1, c))]
     args = [x, dy, dpool, o.astype(dt), ln_w.astype(jnp.float32),
             ln_b.astype(jnp.float32), wqkv.astype(dt),

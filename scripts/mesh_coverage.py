@@ -42,7 +42,9 @@ def report(title):
     blocks = {k: v for k, v in s.items() if k.startswith("pgsstb_")}
     total = sum(blocks.values())
     fused = (blocks.get("pgsstb_fused_epilogue", 0)
-             + blocks.get("pgsstb_fused_sharded_epilogue", 0))
+             + blocks.get("pgsstb_fused_sharded_epilogue", 0)
+             + blocks.get("pgsstb_fused_train_epilogue", 0)
+             + blocks.get("pgsstb_fused_tp_epilogue", 0))
     print(f"\n{title}")
     for k in sorted(s):
         print(f"  {k:34s} {s[k]}")
@@ -136,6 +138,13 @@ def main():
         "spectral TP must route the fused sp0/sp1 kernel path, not jnp")
     assert s3.get("spectral_pallas_tp", 0) > 0
     assert tp.get("pgsstb_unfused", 0) == 0
+    # round-4 VERDICT #4: under spectral TP every PGSSTB must run the fused
+    # TP epilogue (gate/shortcut/dp in-kernel, shortcut post-psum) — the
+    # round-4 guardrail only checked spectral_jnp == 0 and was blind to the
+    # explicit decomposition
+    assert tp.get("pgsstb_fused_explicit", 0) == 0, (
+        "spectral-TP training must run every block on the fused TP epilogue")
+    assert tp.get("pgsstb_fused_tp_epilogue", 0) == sum(tp.values()), tp
     print("\nmesh_coverage ok")
 
 

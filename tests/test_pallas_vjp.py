@@ -483,6 +483,90 @@ def test_spectral_tp_fused_grad_parity(monkeypatch):
 
 
 @pytest.mark.parametrize("shifted", [False, True])
+def test_pgsstb_spectral_tp_epilogue_grad_parity(shifted, monkeypatch):
+    """PGSSTB under SPECTRAL TP runs the fused TP epilogue (round-4 VERDICT
+    #4): gate / gate_map / shortcut consumed by the head-parallel sp0/sp1
+    kernel route (gate terms 1/n_sp-scaled per member, shortcut added once
+    post-psum) — forward AND grads == the plain unsharded jnp block, and
+    the explicit composition must NOT engage."""
+    from jax.sharding import PartitionSpec as P
+
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models import layers as L
+    from mp_hsir_tpu.models.layers import PGSSTB
+    from mp_hsir_tpu.parallel.mesh import SPECTRAL_AXIS, make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(data=1, spatial=1, spectral=2)
+    _interp_kernels(monkeypatch)
+    calls = {"tp": 0}
+    orig = PA.fused_spectral_attention_tp
+
+    def counted(*a, **kw):
+        calls["tp"] += 1
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(PA, "fused_spectral_attention_tp", counted)
+
+    dim, heads = 16, 2
+    x = jnp.asarray(RNG.standard_normal((2, 16, 32, dim)) * 0.5, jnp.float32)
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                   shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                   compress_ratio=4, prompt_len=8, input_resolution=(64, 64))
+    params = plain.init(jax.random.key(0), x, True)["params"]
+
+    def loss_plain(p, xx):
+        y = plain.apply({"params": p}, xx, False)
+        return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+    want_l, (want_gp, want_gx) = jax.value_and_grad(
+        loss_plain, argnums=(0, 1))(params, x)
+
+    tp = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                compress_ratio=4, prompt_len=8, input_resolution=(64, 64),
+                spectral_axis=SPECTRAL_AXIS, use_pallas=True)
+
+    def local(p, xx):
+        def loss(pp, xl):
+            y = tp.apply({"params": pp}, xl, False)
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+        l, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, xx)
+        # over the spectral axis the trainer-style PMEAN is exact: the
+        # forward psum's transpose hands every member the full cotangent
+        # (see test_spectral_tp_fused_grad_parity)
+        return (l, jax.lax.pmean(gp, SPECTRAL_AXIS),
+                jax.lax.pmean(gx, SPECTRAL_AXIS))
+
+    f_sh = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P(), P()),
+        check_vma=False))
+    L.reset_fused_path_stats()
+    got_l, got_gp, got_gx = f_sh(params, x)
+
+    assert calls["tp"] > 0, "the TP kernel route must have engaged"
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_tp_epilogue", 0) > 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_fused_explicit", 0) == 0
+    assert L.FUSED_PATH_STATS.get("pgsstb_unfused", 0) == 0
+    assert L.FUSED_PATH_STATS.get("spectral_jnp", 0) == 0
+
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=2e-4)
+    flat_want = jax.tree_util.tree_leaves_with_path(want_gp)
+    flat_got = dict(jax.tree_util.tree_leaves_with_path(got_gp))
+    for path, gr in flat_want:
+        scale = max(1.0, float(jnp.max(jnp.abs(gr))))
+        np.testing.assert_allclose(
+            np.asarray(flat_got[path]), np.asarray(gr), atol=5e-4 * scale,
+            rtol=2e-3, err_msg=jax.tree_util.keystr(path))
+    scale = max(1.0, float(jnp.max(jnp.abs(want_gx))))
+    np.testing.assert_allclose(np.asarray(got_gx), np.asarray(want_gx),
+                               atol=5e-4 * scale, rtol=2e-3, err_msg="dx")
+
+
+@pytest.mark.parametrize("shifted", [False, True])
 def test_pgsstb_droppath_grad_parity(shifted, monkeypatch):
     """drop_path > 0 TRAINING on the fused path: the split-epilogue route
     consumes the per-sample stochastic-depth scales IN-KERNEL (sp1 + MLP
