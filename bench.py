@@ -358,12 +358,30 @@ def main() -> None:
             return y, y[0, 0, :4, :4]
 
         np.asarray(fwd_probe(params, xs[0], tid)[1])  # warm
+        # BENCH_PROBE=stack (default): stack all n_iter probes on device and
+        # read ONE (n_iter, 4, 4) array — still forces every iteration's
+        # output (the gather depends on all of them) but pays one tunnel
+        # round trip instead of n_iter serial ones. Round-5 finding: the
+        # tunnel's per-readback RPC latency is not stable across sessions
+        # (~5-20 ms in round 4, ~45 ms observed round 5); with per-probe
+        # reads the fast RS 256^2 preset (0.7 s of compute per rep) measured
+        # 13.5 cubes/s purely from 30x serialized readback latency while the
+        # flagship (1.4 s compute) hid it. BENCH_PROBE=each restores the
+        # round-4 per-probe reads.
+        stack_probe = os.environ.get("BENCH_PROBE", "stack") == "stack"
+        gather = jax.jit(lambda ps: jnp.stack(ps))
+        if stack_probe:
+            np.asarray(gather([probe(fwd(params, xi, tid)) for xi in xs[:2]]))  # warm
+            np.asarray(gather([fwd_probe(params, xi, tid)[1] for xi in xs]))  # warm n_iter arity
         reps = []
         for _ in range(n_reps):
             t0 = time.perf_counter()
             outs = [fwd_probe(params, xi, tid) for xi in xs]
-            for _, o in outs:
-                np.asarray(o)
+            if stack_probe:
+                np.asarray(gather([o for _, o in outs]))
+            else:
+                for _, o in outs:
+                    np.asarray(o)
             total = time.perf_counter() - t0
             reps.append(batch * n_iter / total)
         reps.sort()
