@@ -562,16 +562,29 @@ def fused_ln_window_attention_nhwc(
     # 128-lane axis — see seg_packed in _nhwc_kernel): it halves the
     # per-head score-tile area vs the old seg_w=16 default (whose
     # cross-window half was pre-masked waste) at full lane utilization.
-    # Requires even num_heads and dh == 32 (every flagship level: 64/2,
-    # 128/4, 256/8). dh = 48 (the d96 RS preset) is arithmetically eligible
-    # (2*dh = 96 <= 128) but its packed kernel hit a PATHOLOGICAL Mosaic
-    # compile (>20 min remote AOT, vs ~2 min for the whole flagship model —
-    # the 48-lane-misaligned block-diag masks/slices blow up vector
-    # lowering), so it keeps the measured seg_w=16 path. PALLAS_WIN_SEG
-    # overrides for experiments (16 = the old two-window unpacked tiles).
+    # Requires even num_heads and dh in {32, 64}: dh = 32 covers enc1 64/2,
+    # enc2 128/4 and latent 256/8; dh = 64 covers dec1/refine (d128 with
+    # heads[0] = 2 — net/MP_HSIR.py passes heads[0] to both). At dh = 64 the
+    # block-diag kbd is half zeros so the score dot's MACs match the old
+    # T=128 tiles — the win is the halved (T, T) VPU bias/clip/exp2 area and
+    # the halved p @ [v|1] stream per token. dh = 48 (the d96 RS preset) is
+    # arithmetically eligible (2*dh = 96 <= 128) but its packed kernel hit a
+    # PATHOLOGICAL Mosaic compile (>20 min remote AOT, vs ~2 min for the
+    # whole flagship model — the 48-lane-misaligned block-diag masks/slices
+    # blow up vector lowering), so it keeps the measured seg_w=16 path.
+    # PALLAS_WIN_SEG overrides for experiments (16 = the old unpacked tiles).
+    # dh = 64 packing is EVAL-width-gated: at W >= 128 it measured +3% on
+    # the full flagship (512^2: 21.36 -> 22.03 cubes/s same-session A/B) —
+    # the halved (T, T) VPU bias/clip/exp2 area wins; at the train regime
+    # (W <= 64) it measured flat-to-negative (7.73 -> 7.61 steps/s): the
+    # per-segment count doubles (W/8 vs W/16) and at dh = 64 the score dot
+    # saves no MXU MACs (half-zero kbd), so fixed per-segment cost cancels
+    # the tile-area win. PALLAS_PACK_DH64=0/1 overrides for experiments.
     dh = c // num_heads
     env_seg = os.environ.get("PALLAS_WIN_SEG", "")
-    pack_ok = num_heads % 2 == 0 and dh == 32
+    p64 = os.environ.get("PALLAS_PACK_DH64", "auto")
+    pack64 = (w >= 128) if p64 == "auto" else p64 == "1"
+    pack_ok = num_heads % 2 == 0 and (dh == 32 or (dh == 64 and pack64))
     seg_w = int(env_seg) if env_seg else (8 if pack_ok else 16)
     if seg_w % 8 != 0 or w % seg_w != 0:
         seg_w = 16  # segments must hold whole 8-wide windows

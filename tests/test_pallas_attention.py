@@ -121,6 +121,51 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted, batch):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("dim,shifted", [(64, True), (128, True), (128, False)])
+def test_nhwc_fused_packed_matches_pgsstb_plain(dim, shifted, monkeypatch):
+    """Same as above at production head widths: dim 64/128 with 2 heads →
+    dh 32/64, which routes the window kernels through the head-pair-packed
+    seg_w=8 tiles (seg_packed) — incl. the shifted path's in-kernel roll +
+    region-label masking, which the small-dim cases never reach.
+    PALLAS_PACK_DH64=1 forces the dh=64 packing at this 16-wide test map
+    (production gates it to eval widths W >= 128)."""
+    import mp_hsir_tpu.ops.pallas_attention as PA
+    from mp_hsir_tpu.models.layers import PGSSTB
+
+    monkeypatch.setenv("PALLAS_PACK_DH64", "1")
+    heads = 2
+    x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
+    plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                   shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                   compress_ratio=8, prompt_len=16, input_resolution=(64, 64))
+    params = plain.init(jax.random.key(2), x)["params"]
+    want = np.asarray(plain.apply({"params": params}, x))
+
+    names = ["fused_ln_window_attention_nhwc", "fused_spectral_attention_nhwc",
+             "fused_ln_gated_mlp_nhwc", "fused_spectral_attention_sharded"]
+    origs = {n: getattr(PA, n) for n in names}
+
+    def make_interp(fn):
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return fn(*args, **kw)
+
+        return interp
+
+    for n in names:
+        setattr(PA, n, make_interp(origs[n]))
+    try:
+        fused = PGSSTB(dim=dim, num_heads=heads, window_size=8,
+                       shift_size=4 if shifted else 0, mlp_ratio=2.0,
+                       compress_ratio=8, prompt_len=16,
+                       input_resolution=(64, 64), use_pallas=True)
+        got = np.asarray(fused.apply({"params": params}, x))
+    finally:
+        for n in names:
+            setattr(PA, n, origs[n])
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
 def test_fused_spectral_matches_module():
     """Two-phase fused spectral attention kernel == jnp SpectralAttention
     (interpret mode; exercises the in-kernel dwconv halos and the global

@@ -98,17 +98,25 @@ def test_gdfn_vjp(residual):
     _grad_check(fused, ref, (x, ln_w, ln_b, w_in, w_dw, w_out), atol=2e-4)
 
 
-@pytest.mark.parametrize("masked,b", [(False, 1), (True, 1), (False, 4),
-                                      (True, 4)])
-def test_window_attention_vjp(masked, b):
+@pytest.mark.parametrize("masked,b,c", [(False, 1, 8), (True, 1, 8),
+                                        (False, 4, 8), (True, 4, 8),
+                                        (False, 1, 64), (True, 1, 64),
+                                        (False, 1, 128), (True, 1, 128)])
+def test_window_attention_vjp(masked, b, c, monkeypatch):
     """LN + window-MSA backward: both outputs (map + per-window pooled
     means) carry cotangents; rel-pos-bias grads flow through segment_bias's
     gather; the shift-region mask blocks cross-region gradient exactly.
     b=4 exercises the batched backward tiling (nb=4, rows=2 per grid step —
-    _win_bwd_tiles); b=1 the single-sample rows=2 case."""
+    _win_bwd_tiles); b=1 the single-sample rows=2 case. c=64 (dh=32) and
+    c=128 (dh=64) route through the head-pair-packed seg_w=8 kernels
+    (seg_packed / seg_bwd_packed) — the production flagship tiles, which
+    the small-dim cases never reach (pack_ok needs dh in {32, 64}).
+    PALLAS_PACK_DH64=1 forces the dh=64 packing at this 16-wide test map
+    (production gates it to eval widths W >= 128)."""
     from mp_hsir_tpu.ops.window import shifted_region_map, window_partition, window_reverse
 
-    h, w, c, heads = 16, 16, 8, 2
+    monkeypatch.setenv("PALLAS_PACK_DH64", "1")
+    h, w, heads = 16, 16, 2
     dh = c // heads
     n = 64
     x = jnp.asarray(RNG.standard_normal((b, h, w, c)), jnp.float32)
