@@ -847,6 +847,44 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
+# Coefficients (power series in the CENTERED variable v = u/8 - 1,
+# u = yc^2) of the clamp-constrained weighted LS fit of 0.5*erf(y)/y on
+# y in [0, 4]: Phi(g) = 0.5 + yc*POLY(v) with yc = clip(g/sqrt(2), -4, 4).
+# The centered form keeps coefficient magnitudes <= 0.36 so the f32 Horner
+# is cancellation-free (the raw power series in u loses 3 digits at u=16);
+# max |gelu_poly - gelu_exact| = 1.5e-6 over g in [-40, 40] in SIMULATED
+# f32. The fit is constrained so P(16) = erf(4)/4 exactly — the tail error
+# is g*(1-erf(4))/2 ~ 4e-9*g, not a growing fit residual.
+_GELU_POLY = tuple(0.5 * c for c in (
+    0.35353100299835205, -0.17657694220542908, 0.13167433440685272,
+    -0.10768157243728638, 0.09021726995706558, -0.0750603973865509,
+    0.05988609418272972, -0.04410257190465927, 0.03281448781490326,
+    -0.02665763534605503, 0.015374564565718174, -0.0031392446253448725,
+    0.0031267686281353235, -0.005970868282020092, 0.002564716385677457))
+
+
+def _gelu_phi(g):
+    """Gaussian CDF Phi(g) = 0.5*(1 + erf(g/sqrt(2))) on f32 tiles.
+    Default: the clamped odd Horner polynomial above (no divide/exp/sign/
+    abs transcendentals; ~20% fewer VPU slots than the A&S erf, measured
+    -4% on the fused MLP kernel at 512^2). PALLAS_GELU=erf restores the
+    A&S form. Poly-vs-erf delta <= 1.5e-6 absolute on gelu outputs (the
+    parity suites' tightest bar is 2e-4)."""
+    if os.environ.get("PALLAS_GELU", "poly") == "poly":
+        yc = jnp.clip(g * float(1.0 / np.sqrt(2.0)), -4.0, 4.0)
+        v = yc * yc * 0.125 - 1.0
+        p = jnp.float32(_GELU_POLY[-1])
+        for k in range(len(_GELU_POLY) - 2, -1, -1):
+            p = p * v + _GELU_POLY[k]
+        return 0.5 + yc * p
+    return 0.5 * (1.0 + _erf(g / np.sqrt(2.0)))
+
+
+def _gelu_gate(a, g):
+    """a * gelu(g) on f32 tiles (gelu(g) = g * Phi(g))."""
+    return a * (g * _gelu_phi(g))
+
+
 def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 *rest, hidden, eps, residual, has_dp=False):
     if has_dp:
@@ -861,7 +899,7 @@ def _mlp_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     a = h[:, :hidden]
     g = h[:, hidden:]
     # erf GELU in f32 (matches ops/basic.gelu_exact to ~1e-7)
-    gated = a * (0.5 * g * (1.0 + _erf(g / np.sqrt(2.0))))
+    gated = _gelu_gate(a, g)
     y = jnp.dot(gated.astype(dt), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     if has_dp:
         # per-sample drop-path scale on the MLP branch (training); the
@@ -885,6 +923,7 @@ def _mlp_fwd_call(x, ln_w, ln_b, w1, b1, w2, b2, dp_scale=None, *, hidden,
     custom_vjp primal, so weight cotangents stay f32 — see pallas_vjp)."""
     b, h, w, c = x.shape
     cap = 256 if 2 * hidden <= 768 else 128  # keep the f32 (8*bw, 2h) live set ~<6MB
+    cap = int(os.environ.get("PALLAS_MLP_BW", "0") or 0) or cap
     bw = w if w <= cap else _pick_chunk(w, cap)
     assert h % 8 == 0 and w % bw == 0, (h, w)
     grid = (b, h // 8, w // bw)
@@ -1200,7 +1239,7 @@ def _gdfn_kernel(x_top, x_mid, x_bot, lnw_ref, lnb_ref, win_ref, wdw_ref,
                 acc = acc + t[dr : dr + ws8, dc : dc + cw, :] * wtap
         a = acc[:, :, :hidden]
         g = acc[:, :, hidden:]
-        gated = ((0.5 * a * (1.0 + _erf(a / np.sqrt(2.0)))) * g).astype(dt)
+        gated = _gelu_gate(g, a).astype(dt)  # g * gelu(a)
         y = jnp.dot(gated.reshape(ws8 * cw, hidden), wout_ref[:],
                     preferred_element_type=jnp.float32)
         if residual:

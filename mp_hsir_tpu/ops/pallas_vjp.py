@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mp_hsir_tpu.ops.pallas_attention import (CLIP2, LN2, _erf, _ln_rows,
+from mp_hsir_tpu.ops.pallas_attention import (CLIP2, LN2, _erf, _gelu_phi, _ln_rows,
                                               _pick_chunk)
 
 Array = jax.Array
@@ -44,12 +44,14 @@ _INV_SQRT2PI = np.float32(1.0 / np.sqrt(2.0 * np.pi))
 
 
 def _gelu_f32(g):
-    return 0.5 * g * (1.0 + _erf(g / _SQRT2))
+    # Phi via the shared poly/erf helper (pallas_attention._gelu_phi):
+    # forward recompute in the backward kernels matches the forward bitwise
+    return g * _gelu_phi(g)
 
 
 def _dgelu_f32(g):
     """d/dg [g * Phi(g)] = Phi(g) + g * phi(g)."""
-    return 0.5 * (1.0 + _erf(g / _SQRT2)) + g * _INV_SQRT2PI * jnp.exp(-0.5 * g * g)
+    return _gelu_phi(g) + g * _INV_SQRT2PI * jnp.exp(-0.5 * g * g)
 
 
 def _ln_fwd_rows(x2d, lnw, lnb, eps):
