@@ -197,7 +197,8 @@ def segment_bias(rel_bias: Array, seg_w: int = 16) -> Array:
 
 def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                  wp_ref, bp_ref, out_ref, pooled_ref, qkv_ref, o_ref, *,
-                 num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None):
+                 num_heads, eps, seg_w, has_mask, lab_ref=None, x_nxt=None,
+                 pad_dh=0):
     """One grid step = an 8-row slab of the NHWC map (1, 8, W, C).
 
     The slab is processed as W/seg_w independent (8*seg_w)-token segments
@@ -213,7 +214,14 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
     _, ws8, w, c = x_ref.shape
     n_rows = ws8 // 8  # window-rows per slab (>1 amortizes per-slab fixed
     #                    cost at small widths — see fused wrapper)
-    dh = c // num_heads
+    # pad_dh > 0: the qkv / pre-projection channels are PADDED per head to
+    # pad_dh lanes (zeros; built into wqkv/bqkv/wp by the wrapper) so the
+    # dh=48 RS preset can take the packed seg_w=8 path with 64-lane-aligned
+    # block-diag masks (raw 48-lane masks hit a pathological Mosaic
+    # compile). x/out/pooled stay at the real c; only qkv_ref/o_ref and the
+    # per-head slicing below use cp = num_heads * pad_dh.
+    dh = pad_dh or c // num_heads
+    cp = num_heads * dh
     n_seg = w // seg_w
     t = 8 * seg_w
     dt = x_ref.dtype
@@ -235,7 +243,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         xf = x_ref[0].reshape(ws8 * w, c).astype(jnp.float32)
     xn = _ln_rows(xf, lnw_ref, lnb_ref, eps, dt)
     qkv_ref[:] = (jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
-                  + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * c)
+                  + bqkv_ref[:]).astype(dt).reshape(ws8, w, 3 * cp)
 
     # --- head-pair-packed single-window segments (seg_w == 8) -------------
     # One segment = ONE 8x8 window (t = 64 tokens); two heads' (64, 64)
@@ -259,7 +267,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         ones2 = jnp.ones((t, 2), dt)
 
     def seg_packed(r, p):
-        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * 8, 8), :].reshape(t, 3 * c)
+        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * 8, 8), :].reshape(t, 3 * cp)
         if has_mask:
             lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * 8, 8), 0]  # (8, 8)
             lab_r = lab.reshape(t, 1)
@@ -270,8 +278,8 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         outs = []
         for j in range(num_heads // 2):
             q2 = qkv[:, j * d2 : (j + 1) * d2]
-            k2 = qkv[:, c + j * d2 : c + (j + 1) * d2]
-            v2 = qkv[:, 2 * c + j * d2 : 2 * c + (j + 1) * d2]
+            k2 = qkv[:, cp + j * d2 : cp + (j + 1) * d2]
+            v2 = qkv[:, 2 * cp + j * d2 : 2 * cp + (j + 1) * d2]
             # block-diag key rows: [k0|0] over tokens, then [0|k1]
             kbd = jnp.concatenate([k2 * sel0, k2 * sel1], axis=0)  # (2t, d2)
             attn = jax.lax.dot_general(
@@ -290,10 +298,10 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
             o1 = pv[:, dh:d2] / pv[:, d2 + 1 : d2 + 2]
             outs.append(jnp.concatenate([o0, o1], axis=1).astype(dt))
         o_ref[pl.ds(r * 8, 8), pl.ds(p * 8, 8), :] = (
-            jnp.concatenate(outs, axis=1).reshape(8, 8, c))
+            jnp.concatenate(outs, axis=1).reshape(8, 8, cp))
 
     def seg(r, p):
-        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * c)
+        qkv = qkv_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :].reshape(t, 3 * cp)
         if has_mask:
             lab = lab_ref[0, pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), 0]  # (8, seg_w)
             lab_r = lab.reshape(t, 1)
@@ -303,8 +311,8 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         ones_col = jnp.ones((t, 1), dt)
         for h in range(num_heads):
             q = qkv[:, h * dh : (h + 1) * dh]
-            k = qkv[:, c + h * dh : c + (h + 1) * dh]
-            v = qkv[:, 2 * c + h * dh : 2 * c + (h + 1) * dh]
+            k = qkv[:, cp + h * dh : cp + (h + 1) * dh]
+            v = qkv[:, 2 * cp + h * dh : 2 * cp + (h + 1) * dh]
             attn = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
@@ -325,7 +333,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
                          preferred_element_type=jnp.float32)
             outs.append((pv[:, :dh] / pv[:, dh : dh + 1]).astype(dt))
         o_ref[pl.ds(r * 8, 8), pl.ds(p * seg_w, seg_w), :] = (
-            jnp.concatenate(outs, axis=1).reshape(8, seg_w, c))
+            jnp.concatenate(outs, axis=1).reshape(8, seg_w, cp))
 
     # unrolled: Mosaic schedules/pipelines the small attention dots better
     # than a fori_loop here (measured)
@@ -334,7 +342,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
         for _p in range(n_seg):
             seg_fn(_r, _p)
     # slab-wide output projection
-    y = jnp.dot(o_ref[:].reshape(ws8 * w, c), wp_ref[:],
+    y = jnp.dot(o_ref[:].reshape(ws8 * w, cp), wp_ref[:],
                 preferred_element_type=jnp.float32) + bp_ref[:]
     y_dt = y.reshape(ws8, w, c).astype(out_ref.dtype)
     out_ref[0] = y_dt
@@ -352,7 +360,7 @@ def _nhwc_kernel(x_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref, bias_ref,
 
 
 def _nhwc_sp0_kernel(*refs, num_heads, eps, seg_w, has_mask, shift_in,
-                     n_slab, sp_heads):
+                     n_slab, sp_heads, pad_dh=0):
     """Window MSA slab kernel MERGED with the spectral attention's phase 0:
     grid (B, H/8 + 1). Step i computes the window-attention output slab i
     (same body as _nhwc_kernel) and — one slab behind, so the depthwise
@@ -403,7 +411,7 @@ def _nhwc_sp0_kernel(*refs, num_heads, eps, seg_w, has_mask, shift_in,
         _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
                      pooled_ref, qkv_scr, o_scr, num_heads=num_heads, eps=eps,
                      seg_w=seg_w, has_mask=has_mask, lab_ref=lab_ref,
-                     x_nxt=x_nxt)
+                     x_nxt=x_nxt, pad_dh=pad_dh)
 
     @pl.when(i == 0)
     def _():
@@ -479,10 +487,11 @@ def _nhwc_sp0_kernel(*refs, num_heads, eps, seg_w, has_mask, shift_in,
 
 
 def _nhwc_kernel_masked(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp, out_ref,
-                        pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w):
+                        pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w,
+                        pad_dh=0):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
                  qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
-                 has_mask=True, lab_ref=lab)
+                 has_mask=True, lab_ref=lab, pad_dh=pad_dh)
 
 
 def _nhwc_kernel_masked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, lab, wp, bp,
@@ -513,17 +522,18 @@ def _nhwc_kernel_unmasked_saveo(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp,
 
 def _nhwc_kernel_masked_shift(x_ref, x_nxt, lnw, lnb, wqkv, bqkv, bias, lab, wp,
                               bp, out_ref, pooled_ref, qkv_scr, o_scr, *,
-                              num_heads, eps, seg_w):
+                              num_heads, eps, seg_w, pad_dh=0):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
                  qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
-                 has_mask=True, lab_ref=lab, x_nxt=x_nxt)
+                 has_mask=True, lab_ref=lab, x_nxt=x_nxt, pad_dh=pad_dh)
 
 
 def _nhwc_kernel_unmasked(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref,
-                          pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w):
+                          pooled_ref, qkv_scr, o_scr, *, num_heads, eps, seg_w,
+                          pad_dh=0):
     _nhwc_kernel(x_ref, lnw, lnb, wqkv, bqkv, bias, wp, bp, out_ref, pooled_ref,
                  qkv_scr, o_scr, num_heads=num_heads, eps=eps, seg_w=seg_w,
-                 has_mask=False)
+                 has_mask=False, pad_dh=pad_dh)
 
 
 def fused_ln_window_attention_nhwc(
@@ -585,9 +595,25 @@ def fused_ln_window_attention_nhwc(
     p64 = os.environ.get("PALLAS_PACK_DH64", "auto")
     pack64 = (w >= 128) if p64 == "auto" else p64 == "1"
     pack_ok = num_heads % 2 == 0 and (dh == 32 or (dh == 64 and pack64))
+    # dh = 48 (the d96 RS preset): packed via HEAD-LANE PADDING to 64 on
+    # the raw eval paths only (shift_in / merged sp0) — _pad_head_lanes
+    # zero-pads each head's q/k/v columns and wp rows so every kernel
+    # slice/mask is 64-lane-aligned (the direct 48-lane block-diag masks
+    # hit a pathological Mosaic compile). The differentiable/train path
+    # keeps the measured seg_w=16 tiles. PALLAS_PACK_DH48=0/1 overrides
+    # the eval-width auto gate.
+    pad_dh = 0
+    p48 = os.environ.get("PALLAS_PACK_DH48", "auto")
+    pack48 = (num_heads % 2 == 0 and dh == 48
+              and (shift_in or sp_qk is not None) and not env_seg
+              and ((w >= 128) if p48 == "auto" else p48 == "1"))
+    if pack48:
+        pack_ok = True
+        pad_dh = 64
     seg_w = int(env_seg) if env_seg else (8 if pack_ok else 16)
     if seg_w % 8 != 0 or w % seg_w != 0:
         seg_w = 16  # segments must hold whole 8-wide windows
+        pad_dh = 0
     if seg_w == 8 and not pack_ok:
         seg_w = 16  # packed path needs head pairs
     # window-rows per slab: batching 2-4 window-rows per grid step at EVAL
@@ -635,12 +661,50 @@ def fused_ln_window_attention_nhwc(
     return _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
                          region_map, num_heads=num_heads, eps=eps,
                          seg_w=seg_w, shift_in=shift_in, rows=rows,
-                         sp_qk=sp_qk, interpret=interpret)
+                         sp_qk=sp_qk, interpret=interpret, pad_dh=pad_dh)
+
+
+def _pad_head_lanes(wqkv, bqkv, wp, num_heads, dh, pad_dh):
+    """Zero-pad each head's q/k/v columns (and wp's rows) from dh to pad_dh
+    lanes so the packed seg_w=8 kernel sees 64-lane-aligned head blocks —
+    the dh=48 RS preset's enabler (raw 48-lane block-diag masks hit a
+    pathological Mosaic compile). Exact: padded qkv lanes are zeros end to
+    end (zero weight columns -> zero scores contribution through the
+    block-diag masks -> zero o lanes -> zero wp rows)."""
+    c = wqkv.shape[0]
+    pad = pad_dh - dh
+    zc = jnp.zeros((c, pad), wqkv.dtype)
+
+    def pad_sec(m2):
+        parts = []
+        for h in range(num_heads):
+            parts += [m2[:, h * dh : (h + 1) * dh], zc]
+        return jnp.concatenate(parts, axis=1)
+
+    wqkv_p = jnp.concatenate(
+        [pad_sec(wqkv[:, :c]), pad_sec(wqkv[:, c : 2 * c]),
+         pad_sec(wqkv[:, 2 * c :])], axis=1)
+    zv = jnp.zeros((pad,), bqkv.dtype)
+
+    def pad_vec(v):
+        parts = []
+        for h in range(num_heads):
+            parts += [v[h * dh : (h + 1) * dh], zv]
+        return jnp.concatenate(parts)
+
+    bqkv_p = jnp.concatenate(
+        [pad_vec(bqkv[:c]), pad_vec(bqkv[c : 2 * c]), pad_vec(bqkv[2 * c :])])
+    zr = jnp.zeros((pad, wp.shape[1]), wp.dtype)
+    rows = []
+    for h in range(num_heads):
+        rows += [wp[h * dh : (h + 1) * dh, :], zr]
+    wp_p = jnp.concatenate(rows, axis=0)
+    return wqkv_p, bqkv_p, wp_p
 
 
 def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
                   num_heads, eps, seg_w, shift_in, interpret, rows=1,
-                  sp_qk=None, save_o=False):
+                  sp_qk=None, save_o=False, pad_dh=0):
     """Raw (non-differentiable) forward pallas_call on PREPARED args (scale
     already folded into wqkv/bqkv, bias2d segment-ordered); weights arrive
     f32 and are cast to the compute dtype here. ``rows`` = window-rows per
@@ -654,6 +718,12 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
     ws8 = 8 * rows
     grid = (b, h // ws8)
     dt = x.dtype
+    dh0 = c // num_heads
+    if pad_dh and pad_dh != dh0:
+        assert not save_o, "pad_dh path is eval-only (no o residual)"
+        wqkv, bqkv, wp = _pad_head_lanes(wqkv, bqkv, wp, num_heads, dh0,
+                                         pad_dh)
+    cp = (pad_dh or dh0) * num_heads
     ln_w, ln_b = ln_w.astype(jnp.float32), ln_b.astype(jnp.float32)
     wqkv, bqkv = wqkv.astype(dt), bqkv.astype(jnp.float32)
     bias2d = bias2d.astype(jnp.float32)
@@ -663,7 +733,7 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         return _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp,
                              region_map, sp_qk, num_heads=num_heads, eps=eps,
                              seg_w=seg_w, shift_in=shift_in,
-                             interpret=interpret)
+                             interpret=interpret, pad_dh=pad_dh)
     common = [
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_w
         pl.BlockSpec(memory_space=pltpu.VMEM),  # ln_b
@@ -684,7 +754,7 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         nxtspec = pl.BlockSpec((1, 8, w, c), lambda bi, i: (bi, jax.lax.rem(i + 1, n_slab), 0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(_nhwc_kernel_masked_shift, num_heads=num_heads,
-                                 eps=eps, seg_w=seg_w)
+                                 eps=eps, seg_w=seg_w, pad_dh=pad_dh)
         in_specs = [xspec, nxtspec] + common + [lspec] + tail
         args = (x, x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     elif region_map is not None:
@@ -692,13 +762,15 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         lspec = pl.BlockSpec((1, ws8, w, 1), lambda bi, i: (0, i, 0, 0), memory_space=pltpu.VMEM)
         kern = functools.partial(
             _nhwc_kernel_masked_saveo if save_o else _nhwc_kernel_masked,
-            num_heads=num_heads, eps=eps, seg_w=seg_w)
+            num_heads=num_heads, eps=eps, seg_w=seg_w,
+            **({} if save_o else {"pad_dh": pad_dh}))
         in_specs = [xspec] + common + [lspec] + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, lab4d, wp, bp)
     else:
         kern = functools.partial(
             _nhwc_kernel_unmasked_saveo if save_o else _nhwc_kernel_unmasked,
-            num_heads=num_heads, eps=eps, seg_w=seg_w)
+            num_heads=num_heads, eps=eps, seg_w=seg_w,
+            **({} if save_o else {"pad_dh": pad_dh}))
         in_specs = [xspec] + common + tail
         args = (x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp)
 
@@ -711,8 +783,8 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
         jax.ShapeDtypeStruct((b, h // 8, w // 8, c), x.dtype),
     ]
     scratch = [
-        pltpu.VMEM((ws8, w, 3 * c), x.dtype),  # slab qkv
-        pltpu.VMEM((ws8, w, c), x.dtype),      # pre-projection attention out
+        pltpu.VMEM((ws8, w, 3 * cp), x.dtype),  # slab qkv (head-padded)
+        pltpu.VMEM((ws8, w, cp), x.dtype),      # pre-projection attention out
     ]
     if save_o:
         # pre-projection attention out saved as a residual for the backward
@@ -734,7 +806,8 @@ def _win_raw_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map, *,
 
 
 def _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map,
-                  sp_qk, *, num_heads, eps, seg_w, shift_in, interpret):
+                  sp_qk, *, num_heads, eps, seg_w, shift_in, interpret,
+                  pad_dh=0):
     """pallas_call for the merged window + spectral-phase-0 kernel
     (_nhwc_sp0_kernel): grid (B, H/8 + 1); out/pooled/x block maps clamp to
     the last slab at the flush step (same index -> no refetch, no rewrite).
@@ -790,9 +863,10 @@ def _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map,
         jax.ShapeDtypeStruct((b, sp_heads, dh), jnp.float32),
         jax.ShapeDtypeStruct((b, sp_heads, dh), jnp.float32),
     ]
+    cp = (pad_dh or c // num_heads) * num_heads
     scratch = [
-        pltpu.VMEM((8, w, 3 * c), dt),   # slab qkv
-        pltpu.VMEM((8, w, c), dt),       # pre-projection attention out
+        pltpu.VMEM((8, w, 3 * cp), dt),  # slab qkv (head-padded)
+        pltpu.VMEM((8, w, cp), dt),      # pre-projection attention out
         pltpu.VMEM((8, w, c), dt),       # prev8: previous output slab
         pltpu.VMEM((1, w, c), dt),       # prevlast: row 7 of slab i-2
     ]
@@ -806,7 +880,7 @@ def _win_sp0_call(x, ln_w, ln_b, wqkv, bqkv, bias2d, wp, bp, region_map,
     kern = functools.partial(_nhwc_sp0_kernel, num_heads=num_heads, eps=eps,
                              seg_w=seg_w, has_mask=has_mask,
                              shift_in=shift_in, n_slab=n_slab,
-                             sp_heads=sp_heads)
+                             sp_heads=sp_heads, pad_dh=pad_dh)
     return pl.pallas_call(
         kern,
         grid=(b, n_slab + 1),
@@ -870,7 +944,10 @@ def _gelu_phi(g):
     -4% on the fused MLP kernel at 512^2). PALLAS_GELU=erf restores the
     A&S form. Poly-vs-erf delta <= 1.5e-6 absolute on gelu outputs (the
     parity suites' tightest bar is 2e-4)."""
-    if os.environ.get("PALLAS_GELU", "poly") == "poly":
+    mode = os.environ.get("PALLAS_GELU", "poly")
+    if mode == "id":  # profiling aid ONLY: Phi := 0.5 (removes the gate
+        return 0.5    # nonlinearity to isolate the gelu's VPU share)
+    if mode == "poly":
         yc = jnp.clip(g * float(1.0 / np.sqrt(2.0)), -4.0, 4.0)
         v = yc * yc * 0.125 - 1.0
         p = jnp.float32(_GELU_POLY[-1])

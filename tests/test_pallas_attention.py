@@ -121,18 +121,23 @@ def test_nhwc_fused_matches_pgsstb_plain(shifted, batch):
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("dim,shifted", [(64, True), (128, True), (128, False)])
+@pytest.mark.parametrize("dim,shifted", [(64, True), (128, True),
+                                         (128, False), (96, True),
+                                         (96, False)])
 def test_nhwc_fused_packed_matches_pgsstb_plain(dim, shifted, monkeypatch):
-    """Same as above at production head widths: dim 64/128 with 2 heads →
-    dh 32/64, which routes the window kernels through the head-pair-packed
-    seg_w=8 tiles (seg_packed) — incl. the shifted path's in-kernel roll +
-    region-label masking, which the small-dim cases never reach.
-    PALLAS_PACK_DH64=1 forces the dh=64 packing at this 16-wide test map
-    (production gates it to eval widths W >= 128)."""
+    """Same as above at production head widths: dim 64/128/96 with 2 heads
+    → dh 32/64/48; dh 32/64 route the window kernels through the
+    head-pair-packed seg_w=8 tiles (seg_packed) and dh 48 through the
+    head-lane-PADDED packed path (_pad_head_lanes, the RS preset's eval
+    route) — incl. the shifted path's in-kernel roll + region-label
+    masking, which the small-dim cases never reach. The PACK env vars
+    force the packing at this 16-wide test map (production gates it to
+    eval widths W >= 128)."""
     import mp_hsir_tpu.ops.pallas_attention as PA
     from mp_hsir_tpu.models.layers import PGSSTB
 
     monkeypatch.setenv("PALLAS_PACK_DH64", "1")
+    monkeypatch.setenv("PALLAS_PACK_DH48", "1")
     heads = 2
     x = jnp.asarray(RNG.standard_normal((1, 16, 16, dim)).astype(np.float32))
     plain = PGSSTB(dim=dim, num_heads=heads, window_size=8,
